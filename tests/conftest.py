@@ -1,18 +1,19 @@
 """Test harness: run everything on a virtual 8-device CPU mesh.
 
-This is the standard JAX substitute for multi-chip hardware (SURVEY §4): set
-the platform and device count *before* jax is imported anywhere.
+This is the standard JAX substitute for multi-chip hardware (SURVEY §4).
+A pytest plugin imports jax before this conftest runs, so env vars alone are
+too late — use jax.config.update, which still works before any backend is
+initialized.
 """
 
 import os
-
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
-
 import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # for any subprocesses we spawn
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -1,0 +1,169 @@
+"""Command-line trainer mirroring the reference's ``./mf`` flags.
+
+Reference: src/main.cc:6-33 (help text), 95-164 (parser + dispatch). Every
+reference flag is accepted with the same name and default; TPU-native knobs
+(--batch_size, --seed, --dtype, --mesh) are additive. Training data may be in
+any supported format (length-prefixed protobuf frames, raw/userwise text,
+MovieLens files) — auto-detected, unlike the reference which requires its
+protobuf block format.
+
+Usage:
+    python -m tpu_mf.cli --alg mf --train train.pb --test test.pb \
+        --nu 480189 --nv 17770 --dim 128 --iter 15 --eta 2e-2
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from tpu_mf.config import TrainConfig
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="tpu-mf",
+        description="TPU-native matrix factorization trainer (SGD / DP-SGLD / AdaptReg)",
+    )
+    # Reference flags (src/main.cc:106-137) — same names, same defaults.
+    p.add_argument("--train", help="training data file (any supported format)")
+    p.add_argument("--test", help="test data file")
+    p.add_argument("--valid", help="validation data file (admf)")
+    p.add_argument("--result", help="checkpoint output prefix")
+    p.add_argument("--model", help="warm-start checkpoint to load")
+    p.add_argument("--alg", default="mf", choices=["mf", "dpmf", "admf"])
+    p.add_argument("--dim", type=int, default=128)
+    p.add_argument("--iter", type=int, default=15, dest="iters")
+    p.add_argument("--nu", type=int, default=0)
+    p.add_argument("--nv", type=int, default=0)
+    p.add_argument("--fly", type=int, default=8,
+                   help="host prefetch depth (reference: TBB pipeline tokens)")
+    p.add_argument("--stride", type=int, default=2,
+                   help="accepted for parity; software prefetch n/a on TPU")
+    p.add_argument("--eta", type=float, default=2e-2)
+    p.add_argument("--lambda", type=float, default=5e-3, dest="lam")
+    p.add_argument("--gam", type=float, default=1.0)
+    p.add_argument("--bias", type=float, default=2.76, dest="gb")
+    p.add_argument("--mineta", type=float, default=1e-13)
+    p.add_argument("--epsilon", type=float, default=0.0)
+    p.add_argument("--tau", type=int, default=0)
+    p.add_argument("--hypera", type=float, default=1.0)
+    p.add_argument("--hyperb", type=float, default=100.0)
+    p.add_argument("--temp", type=float, default=1.0)
+    p.add_argument("--noise_size", type=int, default=2_000_000_000,
+                   help="accepted for parity; noise comes from on-chip PRNG")
+    p.add_argument("--eta_reg", type=float, default=2e-3)
+    p.add_argument("--loss", type=int, default=0, choices=[0, 1])
+    p.add_argument("--measure", type=int, default=0)
+    # TPU-native knobs.
+    p.add_argument("--batch_size", type=int, default=4096)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
+    p.add_argument("--mesh", type=int, default=1,
+                   help="devices for diagonal-block DSGD (1 = single chip)")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="disable fused Pallas kernels (pure-JAX fallback)")
+    return p
+
+
+def config_from_args(args: argparse.Namespace) -> TrainConfig:
+    return TrainConfig(
+        train=args.train, test=args.test, valid=args.valid,
+        result=args.result, model=args.model, alg=args.alg,
+        dim=args.dim, iters=args.iters, nu=args.nu, nv=args.nv,
+        fly=args.fly, stride=args.stride, eta=args.eta, lam=args.lam,
+        gam=args.gam, gb=args.gb, mineta=args.mineta, epsilon=args.epsilon,
+        tau=args.tau, hypera=args.hypera, hyperb=args.hyperb, temp=args.temp,
+        noise_size=args.noise_size, eta_reg=args.eta_reg, loss=args.loss,
+        measure=args.measure, batch_size=args.batch_size, seed=args.seed,
+        dtype=args.dtype, mesh=args.mesh, use_pallas=not args.no_pallas,
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = config_from_args(args)
+
+    # Required args, as the reference enforces (src/main.cc:139-142) — except
+    # nu/nv, which we can infer from the data.
+    if cfg.train is None:
+        print("Note that train_data is not optional!", file=sys.stderr)
+        build_parser().print_help()
+        return 1
+
+    # Heavy imports deferred so --help is instant.
+    import numpy as np
+    from tpu_mf.data.textfmt import read_any
+    from tpu_mf.io.checkpoint import (
+        load_dpmf_hyper,
+        load_mf_binary,
+        save_dpmf_binary,
+        save_mf_binary,
+        save_npz,
+    )
+    from tpu_mf.train.loop import train_admf, train_dpmf, train_mf
+
+    nu = cfg.nu or None
+    nv = cfg.nv or None
+    train_ds = read_any(cfg.train, nu=nu, nv=nv)
+    test_ds = read_any(cfg.test, nu=train_ds.nu, nv=train_ds.nv) if cfg.test else None
+
+    if cfg.alg == "mf":
+        params0, lam = (None, cfg.lam)
+        if cfg.model:
+            params0, lam = load_mf_binary(cfg.model, gb=cfg.gb)
+        params = train_mf(cfg, train_ds, test_ds=test_ds, params=params0)
+        if cfg.result:
+            if cfg.result.endswith(".npz"):
+                save_npz(cfg.result, params, lam=np.float32(cfg.lam))
+            else:
+                save_mf_binary(f"{cfg.result}_{cfg.iters}", params, cfg.lam)
+    elif cfg.alg == "dpmf":
+        state0 = None
+        if cfg.model:
+            # Hyper-only warm start, as the reference does (main.cc:57).
+            import jax
+            from tpu_mf.models.dpmf import init_dpmf
+            import jax.numpy as jnp
+
+            lr, lub, lvb, lu, lv = load_dpmf_hyper(cfg.model)
+            state0 = init_dpmf(
+                jax.random.PRNGKey(cfg.seed), train_ds, cfg.dim, gb=cfg.gb
+            )._replace(
+                lambda_r=jnp.float32(lr),
+                lambda_ub=jnp.float32(lub),
+                lambda_vb=jnp.float32(lvb),
+                lambda_u=jnp.asarray(lu),
+                lambda_v=jnp.asarray(lv),
+            )
+
+        def save_fn(state, rnd):
+            if cfg.result:
+                save_dpmf_binary(
+                    f"{cfg.result}_{rnd}",
+                    state.params,
+                    float(state.lambda_r),
+                    float(state.lambda_ub),
+                    float(state.lambda_vb),
+                    np.asarray(state.lambda_u),
+                    np.asarray(state.lambda_v),
+                )
+
+        state = train_dpmf(
+            cfg, train_ds, test_ds=test_ds, state=state0, save_fn=save_fn
+        )
+        if cfg.result:
+            save_fn(state, cfg.iters)
+    else:  # admf
+        if not cfg.valid:
+            print("admf requires --valid", file=sys.stderr)
+            return 1
+        valid_ds = read_any(cfg.valid, nu=train_ds.nu, nv=train_ds.nv)
+        state = train_admf(cfg, train_ds, valid_ds, test_ds=test_ds)
+        if cfg.result:
+            save_mf_binary(f"{cfg.result}_{cfg.iters}", state.params, float(state.lam_u))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,15 +11,11 @@ TPU-native replacement for the reference's Hogwild per-rating inner loop
 
 but instead of lock-free racing threads, a batch of B ratings is processed
 synchronously: gather rows, compute all residuals against batch-start values,
-and scatter-add the per-rating deltas (duplicates within a batch accumulate —
-the mini-batch analogue of the Hogwild races the reference tolerates by
-design). Written as deltas, one rating contributes
-
-    d_theta_u = err * phi_v     - eta*lambda * theta_u
-    d_phi_v   = err * theta_u   - eta*lambda * phi_v
-
-so a user with k ratings in the batch receives the decay k times, exactly as k
-sequential reference updates would apply it (to first order).
+apply the weight decay as one scatter-multiply of (1-eta*lambda)^k per row
+touched k times (the exact geometric contraction k sequential updates apply),
+and scatter-add the gradient terms err*phi / err*theta (duplicates accumulate
+— the mini-batch analogue of the Hogwild races the reference tolerates by
+design). At batch size 1 this reproduces the sequential update exactly.
 """
 
 from __future__ import annotations
@@ -31,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_mf.models.mf import MFParams
+from tpu_mf.ops.common import decay_factors, occurrence_stats, pad_to_oob
 
 Batch = Tuple[jax.Array, jax.Array, jax.Array, jax.Array]  # (u, v, r, w)
 
@@ -45,6 +42,8 @@ def sgd_batch_update(
     u, v, r, w = batch
     theta, phi, bu, bv, gb = params
     cdtype = jnp.float32
+    nu = theta.shape[0]
+    nv = phi.shape[0]
 
     t = theta[u].astype(cdtype)          # (B, D) gather
     p = phi[v].astype(cdtype)
@@ -53,18 +52,25 @@ def sgd_batch_update(
 
     pred = jnp.sum(t * p, axis=-1) + bu_g + bv_g + gb.astype(cdtype)
     err = (eta * w) * (r - pred)          # (B,) — masked: padded slots are 0
-    decay = (eta * lam) * w               # per-occurrence decay weight
 
-    d_theta = err[:, None] * p - decay[:, None] * t
-    d_phi = err[:, None] * t - decay[:, None] * p
-    d_bu = err - decay * bu_g
-    d_bv = err - decay * bv_g
+    u_pad = pad_to_oob(u, w, nu)
+    v_pad = pad_to_oob(v, w, nv)
+    fu, ku = occurrence_stats(u_pad, nu)
+    fv, kv = occurrence_stats(v_pad, nv)
+    lameta = 1.0 - eta * lam              # per-occurrence factor (mf.h:79)
+    fac_u = decay_factors(jnp.full_like(err, lameta), fu, ku)
+    fac_v = decay_factors(jnp.full_like(err, lameta), fv, kv)
+
+    theta = theta.at[u_pad].multiply(fac_u[:, None].astype(theta.dtype))
+    phi = phi.at[v_pad].multiply(fac_v[:, None].astype(phi.dtype))
+    bu = bu.at[u_pad].multiply(fac_u.astype(bu.dtype))
+    bv = bv.at[v_pad].multiply(fac_v.astype(bv.dtype))
 
     return MFParams(
-        theta=theta.at[u].add(d_theta.astype(theta.dtype)),
-        phi=phi.at[v].add(d_phi.astype(phi.dtype)),
-        bu=bu.at[u].add(d_bu.astype(bu.dtype)),
-        bv=bv.at[v].add(d_bv.astype(bv.dtype)),
+        theta=theta.at[u].add((err[:, None] * p).astype(theta.dtype)),
+        phi=phi.at[v].add((err[:, None] * t).astype(phi.dtype)),
+        bu=bu.at[u].add(err.astype(bu.dtype)),
+        bv=bv.at[v].add(err.astype(bv.dtype)),
         gb=gb,
     )
 

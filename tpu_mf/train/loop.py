@@ -21,8 +21,13 @@ import numpy as np
 
 from tpu_mf.config import TrainConfig
 from tpu_mf.data.coo import RatingsCOO, epoch_batches
-from tpu_mf.models.mf import MFParams, init_mf, rmse
+from tpu_mf.models.admf import AdaptRegState, init_admf
+from tpu_mf.models.dpmf import DPMFState, dp_bound, init_dpmf
+from tpu_mf.models.mf import MFParams, calc_mse, init_mf, rmse
+from tpu_mf.ops.adreg import adreg_epoch
+from tpu_mf.ops.gibbs import sample_hyper
 from tpu_mf.ops.sgd import sgd_epoch
+from tpu_mf.ops.sgld import SgldHyper, finish_noise, sgld_epoch
 
 
 def train_mf(
@@ -79,3 +84,139 @@ def train_mf(
         else:
             log(f"iter#{it}\t{elapsed:f}")
     return params
+
+
+def _static_batches(ds: RatingsCOO, batch_size: int):
+    u, v, r, w = ds.to_batches(batch_size)
+    nb, bsz = u.shape
+    flat = tuple(
+        jnp.asarray(x.reshape(-1)) for x in (u, v, r, w)
+    )
+
+    @jax.jit
+    def shuffle(key, fu, fv, fr, fw):
+        p = jax.random.permutation(key, fu.shape[0])
+        return tuple(x[p].reshape(nb, bsz) for x in (fu, fv, fr, fw))
+
+    return flat, shuffle
+
+
+def train_dpmf(
+    cfg: TrainConfig,
+    train_ds: RatingsCOO,
+    test_ds: Optional[RatingsCOO] = None,
+    state: Optional[DPMFState] = None,
+    log: Callable[[str], None] = print,
+    save_fn: Optional[Callable[[DPMFState, int], None]] = None,
+) -> DPMFState:
+    """DP-SGLD training (reference: run(DPMF&) src/main.cc:55-74).
+
+    Per round: one pass over the data with the SGLD kernel, then the round
+    finalization of DPMF::finish_round (model.cc:299-310): flush lazy noise,
+    report train/test RMSE, Gibbs-resample the precisions, decay eta with the
+    mineta clamp, and checkpoint on the reference's cadence (round >= 100 and
+    round % 20 == 0).
+    """
+    if state is None:
+        key = jax.random.PRNGKey(cfg.seed)
+        state = init_dpmf(
+            key, train_ds, cfg.dim, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype)
+        )
+    ntrain = len(train_ds)
+    bound = dp_bound(cfg.epsilon, cfg.tau, train_ds.nv)
+
+    flat, shuffle = _static_batches(train_ds, cfg.batch_size)
+    base_key = jax.random.PRNGKey(cfg.seed ^ 0xD1FF)
+
+    t0 = time.perf_counter()
+    for rnd in range(1, cfg.iters + 1):
+        eta_r = cfg.eta_at_cutoff(rnd)
+        hyper = SgldHyper(
+            eta=jnp.float32(eta_r),
+            temp=jnp.float32(cfg.temp),
+            bound=jnp.float32(bound),
+            ntrain=jnp.float32(ntrain),
+        )
+        kshuf = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5A5A), rnd)
+        batches = shuffle(kshuf, *flat)
+        knoise = jax.random.fold_in(base_key, rnd)
+        state = sgld_epoch(state, batches, hyper, knoise)
+        state = finish_noise(
+            state,
+            jnp.float32(eta_r),
+            jnp.float32(cfg.temp),
+            jax.random.fold_in(base_key, rnd + 500_000),
+        )
+        # Train-sample SSE drives the lambda_r posterior; the reference's
+        # "sample" is the full train set (model.cc:273-274 quirk, SURVEY §7).
+        train_mse = calc_mse(
+            state.params, train_ds.u, train_ds.v, train_ds.r, cfg.eval_batch
+        )
+        sse = train_mse * ntrain
+        state = sample_hyper(
+            state,
+            jnp.float32(sse),
+            jnp.float32(ntrain),
+            jnp.float32(cfg.hypera),
+            jnp.float32(cfg.hyperb),
+            jax.random.fold_in(base_key, rnd + 1_000_000),
+        )
+        elapsed = time.perf_counter() - t0
+        if test_ds is not None:
+            t_rmse = rmse(state.params, test_ds)
+            log(
+                f"round #{rnd}\tRMSE={np.sqrt(train_mse):f}\t"
+                f"tRMSE={t_rmse:f}\t{elapsed:f}"
+            )
+        else:
+            log(f"round #{rnd}\tRMSE={np.sqrt(train_mse):f}\t{elapsed:f}")
+        if save_fn is not None and rnd >= 100 and rnd % 20 == 0:
+            save_fn(state, rnd)
+    return state
+
+
+def train_admf(
+    cfg: TrainConfig,
+    train_ds: RatingsCOO,
+    valid_ds: RatingsCOO,
+    test_ds: Optional[RatingsCOO] = None,
+    state: Optional[AdaptRegState] = None,
+    log: Callable[[str], None] = print,
+) -> AdaptRegState:
+    """Adaptive-regularization training (reference: run(AdaptRegMF&)
+    src/main.cc:77-93). The validation set plays the role of the reference's
+    shuffled Record vector (plain_read_valid, model.cc:390-415)."""
+    nu, nv = train_ds.nu, train_ds.nv
+    if state is None:
+        key = jax.random.PRNGKey(cfg.seed)
+        state = init_admf(
+            key, nu, nv, cfg.dim, lam=cfg.lam, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype)
+        )
+    valid = (
+        jnp.asarray(valid_ds.u),
+        jnp.asarray(valid_ds.v),
+        jnp.asarray(valid_ds.r),
+    )
+    flat, shuffle = _static_batches(train_ds, cfg.batch_size)
+    base_key = jax.random.PRNGKey(cfg.seed ^ 0xADF0)
+
+    t0 = time.perf_counter()
+    for it in range(1, cfg.iters + 1):
+        kshuf = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x7E57), it)
+        batches = shuffle(kshuf, *flat)
+        state = adreg_epoch(
+            state,
+            batches,
+            valid,
+            (jnp.float32(cfg.eta_at(it)), jnp.float32(cfg.eta_reg_at(it))),
+            cfg.loss,
+            jax.random.fold_in(base_key, it),
+        )
+        jax.block_until_ready(state.params.theta)
+        elapsed = time.perf_counter() - t0
+        if test_ds is not None:
+            t_rmse = rmse(state.params, test_ds)
+            log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
+        else:
+            log(f"iter#{it}\t{elapsed:f}")
+    return state
