@@ -1,0 +1,90 @@
+"""Fused Pallas SGD kernel vs. the pure-JAX batched kernel (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_mf.data.coo import synthetic_ratings
+from tpu_mf.models.mf import MFParams, init_mf, rmse
+from tpu_mf.ops.pallas_sgd import PallasEpochRunner, prepare_cells
+from tpu_mf.ops.sgd import sgd_batch_update
+
+
+def reference_epoch_on_plan(params, plan, eta, lam):
+    """Run the pure-JAX batched kernel over the exact batches of a CellPlan
+    (global indices reconstructed from tile-local ones)."""
+    out = params
+    for i in range(plan.u.shape[0]):
+        w = plan.w[i].reshape(-1)
+        # padded slots carry the sentinel tile index; clamp them to 0 (w=0)
+        gu_off = plan.gu[i] * plan.tile_u
+        gv_off = plan.gv[i] * plan.tile_v
+        ul = np.where(w > 0, plan.u[i].reshape(-1), 0)
+        vl = np.where(w > 0, plan.v[i].reshape(-1), 0)
+        batch = (
+            jnp.asarray((ul + gu_off * (w > 0)).astype(np.int32)),
+            jnp.asarray((vl + gv_off * (w > 0)).astype(np.int32)),
+            jnp.asarray(plan.r[i].reshape(-1)),
+            jnp.asarray(w),
+        )
+        out = sgd_batch_update(out, batch, jnp.float32(eta), jnp.float32(lam))
+    return out
+
+
+def test_cellplan_covers_all_ratings():
+    ds = synthetic_ratings(300, 200, 5000, seed=0)
+    plan = prepare_cells(ds, tile_u=128, tile_v=128, batch_size=256, seed=1)
+    assert int(plan.w.sum()) == len(ds)
+    # every batch's cell indices in range; sentinel only where w == 0
+    assert (plan.u[plan.w > 0] < plan.tile_u).all()
+    assert (plan.u[plan.w == 0] == plan.tile_u).all()
+    # batches sorted by (gu, gv) for consecutive tile revisits
+    cells = plan.gu.astype(np.int64) * plan.n_gv + plan.gv
+    assert (np.diff(cells) >= 0).all()
+
+
+def test_pallas_epoch_matches_jax_kernel_interpret():
+    """Interpret-mode fused epoch == pure-JAX kernel over identical batches
+    (fp32 MXU dtype so the comparison is tight)."""
+    ds = synthetic_ratings(300, 200, 4000, rank=3, seed=2)
+    params = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 8, gb=3.0)
+    eta, lam = 0.05, 0.01
+
+    runner = PallasEpochRunner(
+        ds, tile_u=128, tile_v=128, batch=256, seed=3,
+        mxu="float32", interpret=True,
+    )
+    tables = runner.pad(params)
+    tables = runner.epoch(tables, eta, lam, float(params.gb))
+    out_pallas = runner.trim(tables)
+
+    ref = reference_epoch_on_plan(params, runner.plan, eta, lam)
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.theta), np.asarray(ref.theta), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.phi), np.asarray(ref.phi), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.bu), np.asarray(ref.bu), atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_pallas.bv), np.asarray(ref.bv), atol=2e-5
+    )
+
+
+def test_pallas_multi_epoch_converges_interpret():
+    ds = synthetic_ratings(200, 100, 8000, rank=3, noise=0.1, seed=4)
+    train, test = ds.split(0.2, seed=5)
+    params = init_mf(jax.random.PRNGKey(1), ds.nu, ds.nv, 8, gb=ds.mean_rating())
+    runner = PallasEpochRunner(
+        train, tile_u=128, tile_v=128, batch=512, seed=6,
+        mxu="float32", interpret=True,
+    )
+    tables = runner.pad(params)
+    for it in range(1, 8):
+        tables = runner.epoch(tables, 0.05 / it**0.3, 0.01, float(ds.mean_rating()))
+    out = runner.trim(tables)
+    final = rmse(out, test)
+    assert final < 0.6, f"fused kernel training failed to converge: {final}"

@@ -1,0 +1,386 @@
+"""Fused Pallas TPU kernel for the biased-MF SGD epoch.
+
+This is the perf north star (SURVEY §7 step 3): the reference's hot loop is
+~10*dim flops + 2 row reads + 2 row writes per rating through cblas
+(reference: src/mf.h:94-109, memory-bound on CPU). On TPU the same math is
+reformulated to run almost entirely on the MXU:
+
+* Ratings are binned host-side into a (Gu x Gv) grid of cells by
+  (user-tile, item-tile); each cell's ratings are padded to whole batches of
+  B (prepare_cells).
+* One pallas_call runs the whole epoch: grid = (num_batches,), with
+  scalar-prefetched per-batch tile indices driving the BlockSpec index maps.
+  The user table streams through (TILE_U, 128) blocked in/out refs (each
+  tile's batches are consecutive, so a tile makes exactly one HBM round trip
+  per epoch); the item table is small and stays fully VMEM-resident for the
+  whole epoch (DMA'd in at step 0, stored once at the end).
+* Gather/scatter of B arbitrary rows becomes one-hot matmuls on the MXU
+  (bf16 operands — exact for one-hots — with fp32 accumulation).
+* **Column fusion**: each table row is laid out as
+  [factor_0..factor_{D-1} | bias | (count scratch)] inside the 128-lane row,
+  so the bias gather rides the factor gather, and the scatter rhs
+  [err*p | err | w] delivers factor deltas, bias deltas, AND per-row touch
+  counts in a single matmul. The counts drive the geometric per-occurrence
+  decay (1 - eta*lambda)^k (same semantics as ops/sgd.py / ops/common.py).
+
+Requires dim <= 126 (two lanes are reserved); pick_epoch_fn falls back to
+the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_mf.data.coo import RatingsCOO
+from tpu_mf.models.mf import MFParams
+
+LANES = 128          # MXU/VPU lane width: row = [dim factors | bias | count]
+MAX_DIM = LANES - 2  # factor dims supported by the fused layout
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class CellPlan(NamedTuple):
+    """Epoch data layout for the fused kernel (host-side product)."""
+
+    u: np.ndarray    # (NB, B/8, 8) int32 tile-local user ids; TILE_U = pad
+    v: np.ndarray    # (NB, B/8, 8) int32 tile-local item ids; TILE_V = pad
+    r: np.ndarray    # (NB, B/8, 8) float32
+    w: np.ndarray    # (NB, B/8, 8) float32 {0,1}
+    gu: np.ndarray   # (NB,) int32 user-tile index per batch
+    gv: np.ndarray   # (NB,) int32 item-tile index per batch
+    tile_u: int
+    tile_v: int
+    n_gu: int
+    n_gv: int
+    n_real: int
+
+
+def prepare_cells(
+    ds: RatingsCOO,
+    tile_u: int = 512,
+    tile_v: int = 512,
+    batch_size: int = 2048,
+    seed: int = 0,
+) -> CellPlan:
+    """Bin shuffled ratings into (user-tile, item-tile) cells, pad each cell
+    to whole batches, and order batches by (gu, gv) so tile revisits are
+    consecutive."""
+    assert batch_size % 8 == 0
+    n_gu = cdiv(ds.nu, tile_u)
+    n_gv = cdiv(ds.nv, tile_v)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(ds))
+    u, v, r = ds.u[perm], ds.v[perm], ds.r[perm]
+
+    gu = u // tile_u
+    gv = v // tile_v
+    cell = (gu * n_gv + gv).astype(np.int64)
+    order = np.argsort(cell, kind="stable")
+    u, v, r, cell = u[order], v[order], r[order], cell[order]
+    counts = np.bincount(cell, minlength=n_gu * n_gv)
+    nb_per_cell = np.ceil(counts / batch_size).astype(np.int64)
+    nb_total = int(nb_per_cell.sum())
+
+    U = np.full((nb_total, batch_size), tile_u, np.int32)  # sentinel = padded
+    V = np.full((nb_total, batch_size), tile_v, np.int32)
+    R = np.zeros((nb_total, batch_size), np.float32)
+    W = np.zeros((nb_total, batch_size), np.float32)
+    GU = np.zeros(nb_total, np.int32)
+    GV = np.zeros(nb_total, np.int32)
+
+    src = np.concatenate([[0], np.cumsum(counts)])
+    row = 0
+    for c in range(n_gu * n_gv):
+        n = int(counts[c])
+        k = int(nb_per_cell[c])
+        if k == 0:
+            continue
+        s = src[c]
+        U[row : row + k].reshape(-1)[:n] = (u[s : s + n] % tile_u).astype(np.int32)
+        V[row : row + k].reshape(-1)[:n] = (v[s : s + n] % tile_v).astype(np.int32)
+        R[row : row + k].reshape(-1)[:n] = r[s : s + n]
+        W[row : row + k].reshape(-1)[:n] = 1.0
+        GU[row : row + k] = c // n_gv
+        GV[row : row + k] = c % n_gv
+        row += k
+    assert row == nb_total
+    sub = batch_size // 8
+    shape = (nb_total, sub, 8)
+    return CellPlan(
+        u=U.reshape(shape), v=V.reshape(shape),
+        r=R.reshape(shape), w=W.reshape(shape),
+        gu=GU, gv=GV,
+        tile_u=tile_u, tile_v=tile_v, n_gu=n_gu, n_gv=n_gv, n_real=len(ds),
+    )
+
+
+def pad_params(params: MFParams, plan: CellPlan) -> Tuple[jax.Array, jax.Array]:
+    """Fused-layout tables: rows are [factors | bias | 0] in 128 lanes."""
+    dim = params.theta.shape[1]
+    assert dim <= MAX_DIM, f"fused kernel supports dim <= {MAX_DIM}, got {dim}"
+    pu = plan.n_gu * plan.tile_u
+    pv = plan.n_gv * plan.tile_v
+
+    def fuse(fac, bias, rows):
+        ext = jnp.concatenate([fac, bias[:, None]], axis=1)
+        return jnp.pad(
+            ext, ((0, rows - ext.shape[0]), (0, LANES - ext.shape[1]))
+        ).astype(jnp.float32)
+
+    return (
+        fuse(params.theta, params.bu, pu),
+        fuse(params.phi, params.bv, pv),
+    )
+
+
+def split_params(
+    theta_ext: jax.Array, phi_ext: jax.Array, nu: int, nv: int, dim: int, gb
+) -> MFParams:
+    return MFParams(
+        theta=theta_ext[:nu, :dim],
+        phi=phi_ext[:nv, :dim],
+        bu=theta_ext[:nu, dim],
+        bv=phi_ext[:nv, dim],
+        gb=jnp.asarray(gb, jnp.float32),
+    )
+
+
+def _epoch_kernel(
+    # scalar prefetch
+    gu_ref, gv_ref, hyper_ref,
+    # blocked inputs
+    u_ref, v_ref, ut_ref, vt_ref, r_ref, w_ref, theta_ref,
+    # HBM-resident input (aliased with the resident output)
+    phi_hbm,
+    # outputs
+    theta_out, phi_out,
+    # scratch
+    sem,
+    *, tile_u: int, tile_v: int, batch: int, dim: int, mxu_dtype,
+):
+    eta = hyper_ref[0]
+    lam = hyper_ref[1]
+    gb = hyper_ref[2]
+
+    i = pl.program_id(0)
+    prev = jnp.maximum(i - 1, 0)
+    new_gu = (i == 0) | (gu_ref[i] != gu_ref[prev])
+
+    # Item table: fully VMEM-resident for the epoch (see module docstring).
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(phi_hbm, phi_out, sem)
+        cp.start()
+        cp.wait()
+
+    # User table: state lives in the out ref (persists across same-index
+    # steps); seeded from the in ref at each tile-run start. A tile is never
+    # reloaded after its store, so there is no stale-read hazard.
+    @pl.when(new_gu)
+    def _():
+        theta_out[:] = theta_ref[:]
+
+    sub = batch // 8
+    u3 = u_ref[0]    # (B/8, 8) tile-local ids; == tile for padded slots
+    v3 = v_ref[0]
+    ut3 = ut_ref[0]  # (8, B/8) host-transposed copies: ut3[k, i] == u3[i, k]
+    vt3 = vt_ref[0]
+    r3 = r_ref[0]
+    w3 = w_ref[0]
+
+    off = pl.multiple_of(gv_ref[i] * tile_v, tile_v)
+    theta = theta_out[:]                   # (TILE_U, 128) fp32 state
+    phi = phi_out[pl.ds(off, tile_v), :]   # (TILE_V, 128) fp32 view
+    theta_mx = theta.astype(mxu_dtype)
+    phi_mx = phi.astype(mxu_dtype)
+
+    # Lane-role masks for the fused [factors | bias | count] row layout.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    m_fac = (lane < dim).astype(jnp.float32)        # factor lanes
+    m_bias = (lane == dim).astype(jnp.float32)      # bias lane
+    m_cnt = (lane == dim + 1).astype(jnp.float32)   # count scratch lane
+    m_keep = m_fac + m_bias                         # persisted lanes
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_u), 1)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_v), 1)
+    iota_ut = jax.lax.broadcasted_iota(jnp.int32, (tile_u, sub), 0)
+    iota_vt = jax.lax.broadcasted_iota(jnp.int32, (tile_v, sub), 0)
+
+    d_theta = jnp.zeros((tile_u, LANES), jnp.float32)
+    d_phi = jnp.zeros((tile_v, LANES), jnp.float32)
+
+    for k in range(8):
+        # One-hot encodings (exact in bf16: entries are 0/1). Gather side is
+        # (B/8, TILE); scatter side is built pre-transposed as (TILE, B/8)
+        # from the host-transposed ids, so every matmul contracts over the
+        # lhs lane axis — Mosaic never transposes a one-hot.
+        oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
+        oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
+        oht_u = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
+        oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
+
+        # Fused gathers: factors and bias in one MXU pass per side.
+        t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
+        p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
+
+        # pred = t.p + bu + bv + gb, via lane masks:
+        # rowsum(t * (p*m_fac + m_bias)) = t.p + bu; rowsum(p*m_bias) = bv.
+        q = p * m_fac + m_bias
+        pred = (
+            jnp.sum(t * q, axis=1, keepdims=True)
+            + jnp.sum(p * m_bias, axis=1, keepdims=True)
+            + gb
+        )
+        wk = w3[:, k : k + 1]
+        err = (eta * wk) * (r3[:, k : k + 1] - pred)  # (B/8, 1)
+
+        # Fused scatters: rhs lanes carry [err*p_fac | err | w], so one MXU
+        # pass per side yields factor deltas, bias delta, and touch counts.
+        rhs_u = (err * q + wk * m_cnt).astype(mxu_dtype)
+        rhs_v = (err * (t * m_fac + m_bias) + wk * m_cnt).astype(mxu_dtype)
+        d_theta += jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
+        d_phi += jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+
+    # Geometric per-occurrence decay (ops/common.py semantics): counts came
+    # through the scratch lane of the scatter result.
+    lameta = 1.0 - eta * lam
+    k_u = jnp.sum(d_theta * m_cnt, axis=1, keepdims=True)  # (TILE_U, 1)
+    k_v = jnp.sum(d_phi * m_cnt, axis=1, keepdims=True)
+    fac_u = jnp.exp(k_u * jnp.log(lameta))  # lameta > 0 for any sane config
+    fac_v = jnp.exp(k_v * jnp.log(lameta))
+
+    theta_out[:] = theta * fac_u + d_theta * m_keep
+    phi_out[pl.ds(off, tile_v), :] = phi * fac_v + d_phi * m_keep
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=(
+        "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu", "interpret"
+    ),
+)
+def _run_epoch(
+    theta_ext, phi_ext,
+    gu, gv, u, v, ut, vt, r, w, hyper,
+    *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
+):
+    nb = u.shape[0]
+    kernel = functools.partial(
+        _epoch_kernel,
+        tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
+        mxu_dtype=jnp.dtype(mxu),
+    )
+    sub = batch // 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,  # gu, gv, hyper
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # u
+            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # v
+            pl.BlockSpec((1, 8, sub), lambda i, gu, gv, h: (i, 0, 0)),   # ut
+            pl.BlockSpec((1, 8, sub), lambda i, gu, gv, h: (i, 0, 0)),   # vt
+            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # r
+            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # w
+            pl.BlockSpec((tile_u, LANES), lambda i, gu, gv, h: (gu[i], 0)),  # theta
+            pl.BlockSpec(memory_space=pltpu.ANY),                            # phi (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_u, LANES), lambda i, gu, gv, h: (gu[i], 0)),
+            pl.BlockSpec((n_gv * tile_v, LANES), lambda i, gu, gv, h: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    theta_ext, phi_ext = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gu * tile_u, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_gv * tile_v, LANES), jnp.float32),
+        ],
+        # operand indices include the 3 scalar-prefetch args: theta=9,
+        # phi=10 -> outputs 0, 1.
+        input_output_aliases={9: 0, 10: 1},
+        interpret=interpret,
+    )(gu, gv, hyper, u, v, ut, vt, r, w, theta_ext, phi_ext)
+    return theta_ext, phi_ext
+
+
+class PallasEpochRunner:
+    """Holds a CellPlan on device and runs fused epochs over it."""
+
+    def __init__(
+        self,
+        ds: RatingsCOO,
+        tile_u: int = 512,
+        tile_v: int = 512,
+        batch: int = 2048,
+        seed: int = 0,
+        mxu: str = "bfloat16",
+        interpret: bool = False,
+    ):
+        self.plan = prepare_cells(ds, tile_u, tile_v, batch, seed)
+        self.nu, self.nv = ds.nu, ds.nv
+        self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
+        self.mxu = mxu
+        self.interpret = interpret
+        u = self.plan.u
+        v = self.plan.v
+        self.dev = (
+            jnp.asarray(self.plan.gu),
+            jnp.asarray(self.plan.gv),
+            jnp.asarray(u),
+            jnp.asarray(v),
+            jnp.asarray(np.swapaxes(u, 1, 2).copy()),
+            jnp.asarray(np.swapaxes(v, 1, 2).copy()),
+            jnp.asarray(self.plan.r),
+            jnp.asarray(self.plan.w),
+        )
+
+    @property
+    def n_slots(self) -> int:
+        return int(self.plan.u.size)
+
+    def epoch(self, tables, eta: float, lam: float, gb: float):
+        """tables = (theta_ext, phi_ext) in the fused layout."""
+        hyper = jnp.asarray([eta, lam, gb], jnp.float32)
+        return _run_epoch(
+            tables[0], tables[1], *self.dev, hyper,
+            tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
+            dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
+            mxu=self.mxu, interpret=self.interpret,
+        )
+
+    def pad(self, params: MFParams):
+        self.dim = params.theta.shape[1]
+        self.gb = float(params.gb)
+        return pad_params(params, self.plan)
+
+    def trim(self, tables, dim: int | None = None) -> MFParams:
+        return split_params(
+            tables[0], tables[1], self.nu, self.nv, dim or self.dim, self.gb
+        )
+
+
+def pallas_eligible(params: MFParams, batch_size: int) -> bool:
+    """The fused kernel needs dim <= 126 and an item table that fits VMEM."""
+    dim = params.theta.shape[1]
+    nv = params.phi.shape[0]
+    vmem_phi = cdiv(nv, 512) * 512 * LANES * 4
+    return dim <= MAX_DIM and vmem_phi <= 12 * 1024 * 1024
+
+
+def pallas_sgd_epoch(*args, **kwargs):  # pragma: no cover - see pick_epoch_fn
+    raise NotImplementedError(
+        "use PallasEpochRunner; pick_epoch_fn wires it up for bench/training"
+    )

@@ -49,6 +49,12 @@ def train_mf(
         key = jax.random.PRNGKey(cfg.seed)
         params = init_mf(key, nu, nv, cfg.dim, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype))
 
+    if cfg.use_pallas and jax.default_backend() != "cpu":
+        from tpu_mf.ops.pallas_sgd import PallasEpochRunner, pallas_eligible
+
+        if pallas_eligible(params, cfg.batch_size):
+            return _train_mf_pallas(cfg, train_ds, test_ds, params, log)
+
     # Static batch layout; per-epoch shuffle permutes within it on device.
     u, v, r, w = train_ds.to_batches(cfg.batch_size)
     nb, bsz = u.shape
@@ -84,6 +90,34 @@ def train_mf(
         else:
             log(f"iter#{it}\t{elapsed:f}")
     return params
+
+
+def _train_mf_pallas(cfg, train_ds, test_ds, params, log) -> MFParams:
+    """MF training epochs on the fused Pallas kernel (ops/pallas_sgd.py).
+
+    The cell plan (and thus the within-epoch rating order) is fixed across
+    epochs — the reference behaves the same way, rewinding and replaying the
+    training file in identical order every epoch (src/mf.h:37-44).
+    """
+    from tpu_mf.ops.pallas_sgd import PallasEpochRunner
+
+    runner = PallasEpochRunner(
+        train_ds, tile_u=256, tile_v=256,
+        batch=max(1024, cfg.batch_size), seed=cfg.seed,
+    )
+    tables = runner.pad(params)
+    gb = float(params.gb)
+    t0 = time.perf_counter()
+    for it in range(1, cfg.iters + 1):
+        tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam, gb)
+        jax.block_until_ready(tables[0])
+        elapsed = time.perf_counter() - t0
+        if test_ds is not None:
+            t_rmse = rmse(runner.trim(tables), test_ds)
+            log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
+        else:
+            log(f"iter#{it}\t{elapsed:f}")
+    return runner.trim(tables)
 
 
 def _static_batches(ds: RatingsCOO, batch_size: int):
