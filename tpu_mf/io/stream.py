@@ -1,0 +1,118 @@
+"""Host-side streaming input pipeline — the TBB pipeline's TPU equivalent (C8).
+
+Reference: a 3-stage tbb::pipeline with ``fly`` tokens — serial fread of
+length-prefixed frames into a recycled buffer pool, parallel protobuf decode,
+parallel Hogwild update (src/mf.h:6-70, src/main.cc:42-50). On TPU the
+analogue is: a background thread parses frames into fixed-size COO batches
+and stages them onto the device (``jax.device_put``) up to ``fly`` batches
+ahead of the jitted update step, so host I/O and device compute overlap.
+
+Used for datasets too large to pre-stage on device; in-memory datasets go
+through the faster scan/Pallas epoch paths (tpu_mf.ops).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import numpy as np
+
+from tpu_mf.data.proto import iter_frames, parse_block
+
+
+def stream_batches(
+    path: str, batch_size: int
+) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
+    """Yield (u, v, r, w) batches by incrementally parsing a block stream.
+
+    The tail batch is padded with weight-0 slots, like RatingsCOO.to_batches.
+    """
+    bu: list = []
+    bv: list = []
+    br: list = []
+    for payload in iter_frames(path):
+        fu, fv, fr = parse_block(payload)
+        bu += fu
+        bv += fv
+        br += fr
+        while len(bu) >= batch_size:
+            yield (
+                np.asarray(bu[:batch_size], np.int32),
+                np.asarray(bv[:batch_size], np.int32),
+                np.asarray(br[:batch_size], np.float32),
+                np.ones(batch_size, np.float32),
+            )
+            del bu[:batch_size], bv[:batch_size], br[:batch_size]
+    if bu:
+        n = len(bu)
+        pad = batch_size - n
+        yield (
+            np.concatenate([np.asarray(bu, np.int32), np.zeros(pad, np.int32)]),
+            np.concatenate([np.asarray(bv, np.int32), np.zeros(pad, np.int32)]),
+            np.concatenate([np.asarray(br, np.float32), np.zeros(pad, np.float32)]),
+            np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)]),
+        )
+
+
+class Prefetcher:
+    """Stage batches onto the device from a background thread, ``fly`` ahead.
+
+    The moral equivalent of the reference's pipeline tokens (--fly,
+    main.cc:19): bounded lookahead that overlaps host parse/transfer with
+    device compute. Iterate it like the source iterator; raises the source's
+    exception, if any, at the point of consumption.
+    """
+
+    _DONE = object()
+
+    def __init__(self, source, fly: int = 8, device=None):
+        import jax
+
+        self._q: "queue.Queue" = queue.Queue(maxsize=max(1, fly))
+        self._device = device or jax.devices()[0]
+        self._err: Optional[BaseException] = None
+
+        def worker():
+            try:
+                for item in source:
+                    self._q.put(jax.device_put(item, self._device))
+            except BaseException as e:  # surfaced on the consumer side
+                self._err = e
+            finally:
+                self._q.put(self._DONE)
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._DONE:
+            if self._err is not None:
+                raise self._err
+            raise StopIteration
+        return item
+
+
+def streaming_sgd_epoch(params, path: str, eta, lam, batch_size: int = 8192, fly: int = 8):
+    """One SGD pass over an on-disk block stream without loading it in RAM.
+
+    Mirrors the reference's epoch structure: serial read -> decode ->
+    update, with ``fly`` batches in flight (reference: run(MF&),
+    src/main.cc:36-52).
+    """
+    import jax.numpy as jnp
+
+    from tpu_mf.ops.sgd import sgd_batch_update
+
+    eta = jnp.float32(eta)
+    lam = jnp.float32(lam)
+    n = 0
+    for batch in Prefetcher(stream_batches(path, batch_size), fly=fly):
+        params = sgd_batch_update(params, batch, eta, lam)
+        n += int(batch[3].sum())  # real ratings
+    return params, n
