@@ -16,19 +16,21 @@ def reference_epoch_on_plan(params, plan, eta, lam):
     (global indices reconstructed from tile-local ones)."""
     out = params
     for i in range(plan.u.shape[0]):
-        w = plan.w[i].reshape(-1)
-        # padded slots carry the sentinel tile index; clamp them to 0 (w=0)
-        gu_off = plan.gu[i] * plan.tile_u
-        gv_off = plan.gv[i] * plan.tile_v
-        ul = np.where(w > 0, plan.u[i].reshape(-1), 0)
-        vl = np.where(w > 0, plan.v[i].reshape(-1), 0)
-        batch = (
-            jnp.asarray((ul + gu_off * (w > 0)).astype(np.int32)),
-            jnp.asarray((vl + gv_off * (w > 0)).astype(np.int32)),
-            jnp.asarray(plan.r[i].reshape(-1)),
-            jnp.asarray(w),
-        )
-        out = sgd_batch_update(out, batch, jnp.float32(eta), jnp.float32(lam))
+        # the fused kernel applies the 8 lane-columns as sequential
+        # sub-batches; replay at the same granularity
+        for k in range(8):
+            w = plan.w[i][:, k]
+            gu_off = plan.gu[i] * plan.tile_u
+            gv_off = plan.gv[i] * plan.tile_v
+            ul = np.where(w > 0, plan.u[i][:, k], 0)
+            vl = np.where(w > 0, plan.v[i][:, k], 0)
+            batch = (
+                jnp.asarray((ul + gu_off * (w > 0)).astype(np.int32)),
+                jnp.asarray((vl + gv_off * (w > 0)).astype(np.int32)),
+                jnp.asarray(plan.r[i][:, k]),
+                jnp.asarray(w),
+            )
+            out = sgd_batch_update(out, batch, jnp.float32(eta), jnp.float32(lam))
     return out
 
 

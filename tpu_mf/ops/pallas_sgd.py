@@ -201,8 +201,6 @@ def _epoch_kernel(
     off = pl.multiple_of(gv_ref[i] * tile_v, tile_v)
     theta = theta_out[:]                   # (TILE_U, 128) fp32 state
     phi = phi_out[pl.ds(off, tile_v), :]   # (TILE_V, 128) fp32 view
-    theta_mx = theta.astype(mxu_dtype)
-    phi_mx = phi.astype(mxu_dtype)
 
     # Lane-role masks for the fused [factors | bias | count] row layout.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -215,11 +213,18 @@ def _epoch_kernel(
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_v), 1)
     iota_ut = jax.lax.broadcasted_iota(jnp.int32, (tile_u, sub), 0)
     iota_vt = jax.lax.broadcasted_iota(jnp.int32, (tile_v, sub), 0)
+    lameta = 1.0 - eta * lam
+    ln_lameta = jnp.log(lameta)  # lameta > 0 for any sane config
 
-    d_theta = jnp.zeros((tile_u, LANES), jnp.float32)
-    d_phi = jnp.zeros((tile_v, LANES), jnp.float32)
-
+    # The 8 sub-batches apply SEQUENTIALLY: each gathers from the tile state
+    # the previous one produced. The cell layout concentrates a user's
+    # ratings into few batches, so batch-level accumulation would see large
+    # within-batch duplicate counts (stale-gradient overshoot); sub-batch
+    # sequencing bounds the staleness horizon to B/8 slots and tracks the
+    # reference's sequential order more closely.
     for k in range(8):
+        theta_mx = theta.astype(mxu_dtype)
+        phi_mx = phi.astype(mxu_dtype)
         # One-hot encodings (exact in bf16: entries are 0/1). Gather side is
         # (B/8, TILE); scatter side is built pre-transposed as (TILE, B/8)
         # from the host-transposed ids, so every matmul contracts over the
@@ -248,19 +253,19 @@ def _epoch_kernel(
         # pass per side yields factor deltas, bias delta, and touch counts.
         rhs_u = (err * q + wk * m_cnt).astype(mxu_dtype)
         rhs_v = (err * (t * m_fac + m_bias) + wk * m_cnt).astype(mxu_dtype)
-        d_theta += jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
-        d_phi += jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+        d_theta = jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
+        d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
 
-    # Geometric per-occurrence decay (ops/common.py semantics): counts came
-    # through the scratch lane of the scatter result.
-    lameta = 1.0 - eta * lam
-    k_u = jnp.sum(d_theta * m_cnt, axis=1, keepdims=True)  # (TILE_U, 1)
-    k_v = jnp.sum(d_phi * m_cnt, axis=1, keepdims=True)
-    fac_u = jnp.exp(k_u * jnp.log(lameta))  # lameta > 0 for any sane config
-    fac_v = jnp.exp(k_v * jnp.log(lameta))
+        # Geometric per-occurrence decay (ops/common.py semantics): counts
+        # came through the scratch lane of the scatter result. Apply this
+        # sub-batch's update to the local tile state for the next sub-batch.
+        k_u = jnp.sum(d_theta * m_cnt, axis=1, keepdims=True)  # (TILE_U, 1)
+        k_v = jnp.sum(d_phi * m_cnt, axis=1, keepdims=True)
+        theta = theta * jnp.exp(k_u * ln_lameta) + d_theta * m_keep
+        phi = phi * jnp.exp(k_v * ln_lameta) + d_phi * m_keep
 
-    theta_out[:] = theta * fac_u + d_theta * m_keep
-    phi_out[pl.ds(off, tile_v), :] = phi * fac_v + d_phi * m_keep
+    theta_out[:] = theta
+    phi_out[pl.ds(off, tile_v), :] = phi
 
 
 @functools.partial(

@@ -1,0 +1,415 @@
+"""Fused Pallas TPU kernel for the DP-SGLD epoch (one round).
+
+The BASELINE north star calls for "SGLD Langevin noise ... fused into the
+Pallas update kernel using on-chip PRNG". This kernel extends the fused SGD
+epoch kernel (ops/pallas_sgd.py — read that first) with the DPMF semantics of
+ops/sgld.py (reference: src/dpmf.h:37-92):
+
+* **Row layout** (128 lanes): [factor_0..D-1 | bias | cnt scratch | gcount |
+  invfreq], so the lazy-noise last-touch counter and the inverse-frequency
+  regularization weight travel WITH their row through the tile pipeline.
+  Requires dim <= 124.
+* **Lazy Langevin noise**: per batch, rows touched for the first time since
+  their last update receive one Gaussian of variance temp*eta*(global
+  updates elapsed), computed from the gcount lane against a scalar-prefetched
+  cumulative real-rating counter; normals come from the on-chip PRNG
+  (pltpu.prng_random_bits + Box-Muller) instead of the reference's
+  pregenerated lookup table (model.cc:229-231) — fresh i.i.d. noise.
+* **Privacy-scaled gradient**: err = eta*ntrain*bound*lambda_r * residual,
+  with per-dimension precision decay (1 - eta*bound*invfreq*lambda)^k
+  applied geometrically per touch count; the lambda vector input carries
+  lambda_u in factor lanes and lambda_ub in the bias lane, zeros elsewhere
+  (so bookkeeping lanes never decay).
+
+Counter exactness: gcount lives in an f32 lane; integers are exact below
+2^24, so rounds of up to ~16.7M ratings are exact (ML-10M fits; for larger
+epochs use the XLA path, ops/sgld.py). finish_noise (round-end flush) stays
+in the XLA path — it is O(rows), once per round.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_mf.models.dpmf import DPMFState
+from tpu_mf.ops.pallas_sgd import LANES, CellPlan, cdiv, prepare_cells
+
+MAX_DIM_SGLD = LANES - 4
+MAX_EXACT_COUNT = 1 << 24  # f32 integer exactness bound for the gcount lane
+
+
+def bits_to_normals(b1, b2):
+    """Box-Muller transform of two uint32 bit arrays to standard normals.
+
+    Pure jnp so it is unit-testable outside the kernel; uses the 24 high
+    bits as uniforms in (0, 1), offset by 2^-25 to avoid log(0).
+    """
+    # >>8 leaves 24 bits, so the int32 round trip is lossless (Mosaic has no
+    # direct uint32 -> float32 cast).
+    u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24)) + (
+        1.0 / (1 << 25)
+    )
+    u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
+
+
+def _normals(shape):
+    """Standard normals from the on-chip PRNG (prng_seed must be called)."""
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits_to_normals(b1, b2)
+
+
+def _sgld_kernel(
+    # scalar prefetch
+    gu_ref, gv_ref, cum_ref, seed_ref, hyper_ref,
+    # blocked inputs
+    u_ref, v_ref, ut_ref, vt_ref, r_ref, w_ref, theta_ref, lam_ref,
+    # HBM-resident input (aliased with the resident output)
+    phi_hbm,
+    # outputs
+    theta_out, phi_out,
+    # scratch
+    sem,
+    *, tile_u: int, tile_v: int, batch: int, dim: int, mxu_dtype,
+    dma_seed: bool = True,
+):
+    eta = hyper_ref[0]
+    temp = hyper_ref[1]
+    bound = hyper_ref[2]
+    scal = hyper_ref[3]   # eta * ntrain * bound * lambda_r (dpmf.h:50)
+    gb = hyper_ref[4]
+
+    i = pl.program_id(0)
+    prev = jnp.maximum(i - 1, 0)
+    new_gu = (i == 0) | (gu_ref[i] != gu_ref[prev])
+
+    @pl.when(i == 0)
+    def _():
+        if dma_seed:  # compiled path: phi input stays in HBM, DMA once
+            cp = pltpu.make_async_copy(phi_hbm, phi_out, sem)
+            cp.start()
+            cp.wait()
+        else:  # interpreter path: phi input arrives as a VMEM block
+            phi_out[:] = phi_hbm[:]
+
+    @pl.when(new_gu)
+    def _():
+        theta_out[:] = theta_ref[:]
+
+    pltpu.prng_seed(seed_ref[0] + i)
+
+    sub = batch // 8
+    u3 = u_ref[0]
+    v3 = v_ref[0]
+    ut3 = ut_ref[0]
+    vt3 = vt_ref[0]
+    r3 = r_ref[0]
+    w3 = w_ref[0]
+    lam_u = lam_ref[0:1, :]   # (1, LANES): [lambda_u | lambda_ub | 0 0 0..]
+    lam_v = lam_ref[1:2, :]
+
+    off = pl.multiple_of(gv_ref[i] * tile_v, tile_v)
+    theta = theta_out[:]
+    phi = phi_out[pl.ds(off, tile_v), :]
+
+    # Lane-role masks for [factors | bias | cnt | gcount | invfreq].
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    m_fac = (lane < dim).astype(jnp.float32)
+    m_bias = (lane == dim).astype(jnp.float32)
+    m_keep = m_fac + m_bias
+    m_gc = (lane == dim + 2).astype(jnp.float32)
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_u), 1)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_v), 1)
+    iota_ut = jax.lax.broadcasted_iota(jnp.int32, (tile_u, sub), 0)
+    iota_vt = jax.lax.broadcasted_iota(jnp.int32, (tile_v, sub), 0)
+
+    # --- pass 1: one-hots + per-row touch counts (needed before noise) ---
+    oh_u = []
+    oh_v = []
+    oht_u = []
+    oht_v = []
+    k_u = jnp.zeros((tile_u, 1), jnp.float32)
+    k_v = jnp.zeros((tile_v, 1), jnp.float32)
+    for k in range(8):
+        oh_u.append((iota_u == u3[:, k : k + 1]).astype(mxu_dtype))
+        oh_v.append((iota_v == v3[:, k : k + 1]).astype(mxu_dtype))
+        oht_u.append((iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype))
+        oht_v.append((iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype))
+        wk = w3[:, k : k + 1].astype(mxu_dtype)
+        k_u += jnp.dot(oht_u[k], wk, preferred_element_type=jnp.float32)
+        k_v += jnp.dot(oht_v[k], wk, preferred_element_type=jnp.float32)
+
+    # --- lazy Langevin noise (reference: dpmf.h:61-70; ops/sgld.py) ---
+    gc_end = cum_ref[i].astype(jnp.float32)  # real ratings through this batch
+    touched_u = (k_u > 0).astype(jnp.float32)
+    touched_v = (k_v > 0).astype(jnp.float32)
+    cnt_u = jnp.sum(theta * m_gc, axis=1, keepdims=True)  # (TILE_U, 1)
+    cnt_v = jnp.sum(phi * m_gc, axis=1, keepdims=True)
+    std_u = jnp.sqrt(jnp.maximum(temp * eta * (gc_end - cnt_u), 0.0)) * touched_u
+    std_v = jnp.sqrt(jnp.maximum(temp * eta * (gc_end - cnt_v), 0.0)) * touched_v
+    theta = (
+        theta
+        + std_u * _normals((tile_u, LANES)) * m_keep
+        + touched_u * (gc_end - cnt_u) * m_gc  # stamp gcount lane to gc_end
+    )
+    phi = (
+        phi
+        + std_v * _normals((tile_v, LANES)) * m_keep
+        + touched_v * (gc_end - cnt_v) * m_gc
+    )
+
+    # Geometric per-occurrence decay bases, with per-dimension precisions
+    # weighted by the row's inverse frequency (lambda vector: factors + bias
+    # lanes only, so bookkeeping lanes have base 1 and never decay).
+    inv_u = jnp.sum(theta * (lane == dim + 3).astype(jnp.float32), axis=1, keepdims=True)
+    inv_v = jnp.sum(phi * (lane == dim + 3).astype(jnp.float32), axis=1, keepdims=True)
+    base_u = 1.0 - (eta * bound) * inv_u * lam_u
+    base_v = 1.0 - (eta * bound) * inv_v * lam_v
+    # Precompute log-magnitude and negativity once; per-sub-batch factors
+    # are |base|^k * (-1)^(k odd & base<0) — matches jnp.power for integer k
+    # and degrades like the sequential reference when base < 0 (oscillating
+    # divergence) instead of NaN-ing through log(negative).
+    ln_u = jnp.log(jnp.maximum(jnp.abs(base_u), 1e-30))
+    ln_v = jnp.log(jnp.maximum(jnp.abs(base_v), 1e-30))
+    neg_u = base_u < 0
+    neg_v = base_v < 0
+
+    def powk(ln_mag, neg, k):
+        sign = jnp.where(neg & (jnp.mod(k, 2.0) == 1.0), -1.0, 1.0)
+        return jnp.where(k == 0, 1.0, sign * jnp.exp(k * ln_mag))
+
+    # --- privacy-scaled gradient (reference: dpmf.h:72-88), applied as 8
+    # SEQUENTIAL sub-batches: each gathers from the state the previous one
+    # produced, bounding within-gather duplicate staleness to B/8 slots
+    # (the cell layout concentrates a user's ratings into few batches).
+    for k in range(8):
+        theta_mx = theta.astype(mxu_dtype)
+        phi_mx = phi.astype(mxu_dtype)
+        t = jnp.dot(oh_u[k], theta_mx, preferred_element_type=jnp.float32)
+        p = jnp.dot(oh_v[k], phi_mx, preferred_element_type=jnp.float32)
+        q = p * m_fac + m_bias
+        pred = (
+            jnp.sum(t * q, axis=1, keepdims=True)
+            + jnp.sum(p * m_bias, axis=1, keepdims=True)
+            + gb
+        )
+        wk = w3[:, k : k + 1]
+        err = (scal * wk) * (r3[:, k : k + 1] - pred)
+        d_theta = jnp.dot(
+            oht_u[k], (err * q).astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        d_phi = jnp.dot(
+            oht_v[k], (err * (t * m_fac + m_bias)).astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        wk_mx = wk.astype(mxu_dtype)
+        k_u_k = jnp.dot(oht_u[k], wk_mx, preferred_element_type=jnp.float32)
+        k_v_k = jnp.dot(oht_v[k], wk_mx, preferred_element_type=jnp.float32)
+        theta = theta * powk(ln_u, neg_u, k_u_k) + d_theta * m_keep
+        phi = phi * powk(ln_v, neg_v, k_v_k) + d_phi * m_keep
+
+    theta_out[:] = theta
+    phi_out[pl.ds(off, tile_v), :] = phi
+
+
+def pad_sgld(state: DPMFState, plan: CellPlan) -> Tuple[jax.Array, jax.Array]:
+    """Fused SGLD layout: rows [factors | bias | 0 | gcount | invfreq]."""
+    params = state.params
+    dim = params.theta.shape[1]
+    assert dim <= MAX_DIM_SGLD
+    pu = plan.n_gu * plan.tile_u
+    pv = plan.n_gv * plan.tile_v
+
+    def fuse(fac, bias, gcount, invfreq, rows):
+        n = fac.shape[0]
+        ext = jnp.concatenate(
+            [
+                fac.astype(jnp.float32),
+                bias[:, None].astype(jnp.float32),
+                jnp.zeros((n, 1), jnp.float32),
+                gcount[:n].astype(jnp.float32)[:, None],
+                invfreq[:, None].astype(jnp.float32),
+            ],
+            axis=1,
+        )
+        return jnp.pad(ext, ((0, rows - n), (0, LANES - ext.shape[1])))
+
+    return (
+        fuse(params.theta, params.bu, state.gcountu, state.ur, pu),
+        fuse(params.phi, params.bv, state.gcountv, state.vr, pv),
+    )
+
+
+def unpack_sgld(state: DPMFState, theta_ext, phi_ext, n_processed) -> DPMFState:
+    """Back to DPMFState after fused epochs (counters round-trip exactly)."""
+    nu, dim = state.params.theta.shape
+    nv = state.params.phi.shape[0]
+    params = state.params._replace(
+        theta=theta_ext[:nu, :dim],
+        phi=phi_ext[:nv, :dim],
+        bu=theta_ext[:nu, dim],
+        bv=phi_ext[:nv, dim],
+    )
+    gcountu = jnp.concatenate(
+        [theta_ext[:nu, dim + 2].astype(jnp.int32), state.gcountu[nu:]]
+    )
+    gcountv = jnp.concatenate(
+        [phi_ext[:nv, dim + 2].astype(jnp.int32), state.gcountv[nv:]]
+    )
+    return state._replace(
+        params=params,
+        gcountu=gcountu,
+        gcountv=gcountv,
+        gcount=state.gcount + jnp.int32(n_processed),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=(
+        "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu", "interpret"
+    ),
+)
+def _run_sgld_epoch(
+    theta_ext, phi_ext,
+    gu, gv, cum, seed, hyper, lamvec,
+    u, v, ut, vt, r, w,
+    *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
+):
+    nb = u.shape[0]
+    kernel = functools.partial(
+        _sgld_kernel,
+        tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
+        mxu_dtype=jnp.dtype(mxu), dma_seed=not interpret,
+    )
+    sub = batch // 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,  # gu, gv, cum, seed, hyper
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # u
+            pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # v
+            pl.BlockSpec((1, 8, sub), lambda i, *_: (i, 0, 0)),   # ut
+            pl.BlockSpec((1, 8, sub), lambda i, *_: (i, 0, 0)),   # vt
+            pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # r
+            pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # w
+            pl.BlockSpec((tile_u, LANES), lambda i, gu, *_: (gu[i], 0)),  # theta
+            pl.BlockSpec((2, LANES), lambda i, *_: (0, 0)),       # lambda vecs
+            (
+                # The Mosaic interpreter cannot DMA from an ANY-space input;
+                # give it a whole-array VMEM block instead.
+                pl.BlockSpec((n_gv * tile_v, LANES), lambda i, *_: (0, 0))
+                if interpret
+                else pl.BlockSpec(memory_space=pl.ANY)             # phi (HBM)
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_u, LANES), lambda i, gu, *_: (gu[i], 0)),
+            pl.BlockSpec((n_gv * tile_v, LANES), lambda i, *_: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    theta_ext, phi_ext = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gu * tile_u, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_gv * tile_v, LANES), jnp.float32),
+        ],
+        # operands incl. 5 scalar-prefetch args: theta=11, phi=13 -> outs 0,1
+        input_output_aliases={11: 0, 13: 1},
+        # The Mosaic TPU interpreter emulates pltpu.prng_* on CPU; the plain
+        # HLO interpreter does not.
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(gu, gv, cum, seed, hyper, u, v, ut, vt, r, w, theta_ext, lamvec, phi_ext)
+    return theta_ext, phi_ext
+
+
+class PallasSgldRunner:
+    """Fused SGLD rounds over a static CellPlan."""
+
+    def __init__(
+        self,
+        train_ds,
+        tile_u: int = 256,
+        tile_v: int = 256,
+        batch: int = 1024,
+        seed: int = 0,
+        mxu: str = "bfloat16",
+        interpret: bool = False,
+    ):
+        self.plan = prepare_cells(train_ds, tile_u, tile_v, batch, seed)
+        self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
+        self.mxu = mxu
+        self.interpret = interpret
+        u = self.plan.u
+        v = self.plan.v
+        # cumulative REAL rating count per batch: the global update counter
+        # value after each batch (exact lazy-noise accounting).
+        real_per_batch = self.plan.w.reshape(self.plan.w.shape[0], -1).sum(1)
+        self.cum_base = np.cumsum(real_per_batch).astype(np.int32)
+        self.dev = (
+            jnp.asarray(self.plan.gu),
+            jnp.asarray(self.plan.gv),
+            jnp.asarray(u),
+            jnp.asarray(v),
+            jnp.asarray(np.swapaxes(u, 1, 2).copy()),
+            jnp.asarray(np.swapaxes(v, 1, 2).copy()),
+            jnp.asarray(self.plan.r),
+            jnp.asarray(self.plan.w),
+        )
+        self.n_real = int(self.plan.n_real)
+
+    def epoch(self, tables, state_gcount: int, hyper, noise_seed: int):
+        """hyper = (eta, temp, bound, scal, gb) floats."""
+        gu, gv, u, v, ut, vt, r, w = self.dev
+        cum = jnp.asarray(self.cum_base + np.int32(state_gcount))
+        seed = jnp.asarray([noise_seed], jnp.int32)
+        hyper_v = jnp.asarray(list(hyper), jnp.float32)
+        return _run_sgld_epoch(
+            tables[0], tables[1],
+            gu, gv, cum, seed, hyper_v, self.lamvec,
+            u, v, ut, vt, r, w,
+            tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
+            dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
+            mxu=self.mxu, interpret=self.interpret,
+        )
+
+    def pad(self, state: DPMFState):
+        self.dim = state.params.theta.shape[1]
+        self.set_lambdas(state)
+        return pad_sgld(state, self.plan)
+
+    def set_lambdas(self, state: DPMFState) -> None:
+        """(Re)build the lambda lane vectors after Gibbs resampling."""
+        dim = state.params.theta.shape[1]
+        lu = jnp.zeros((LANES,), jnp.float32)
+        lu = lu.at[:dim].set(state.lambda_u).at[dim].set(state.lambda_ub)
+        lv = jnp.zeros((LANES,), jnp.float32)
+        lv = lv.at[:dim].set(state.lambda_v).at[dim].set(state.lambda_vb)
+        self.lamvec = jnp.stack([lu, lv])
+
+    def unpack(self, state: DPMFState, tables) -> DPMFState:
+        return unpack_sgld(state, tables[0], tables[1], self.n_real)
+
+
+def sgld_pallas_eligible(state: DPMFState, ntrain: int) -> bool:
+    dim = state.params.theta.shape[1]
+    nv = state.params.phi.shape[0]
+    vmem_phi = cdiv(nv, 256) * 256 * LANES * 4
+    return (
+        dim <= MAX_DIM_SGLD
+        and vmem_phi <= 12 * 1024 * 1024
+        and ntrain < MAX_EXACT_COUNT
+    )

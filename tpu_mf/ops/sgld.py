@@ -69,7 +69,9 @@ def sgld_batch_update(
     first_v, count_v = occurrence_stats(v_pad, nv)
 
     # --- lazy Langevin noise (reference: dpmf.h:61-70) ---
-    gc_end = state.gcount + jnp.int32(b)  # batch advances the global counter
+    # The global counter advances by the REAL ratings in the batch (padded
+    # slots are not updates; reference counts per processed rating).
+    gc_end = state.gcount + jnp.sum(w).astype(jnp.int32)
     cu = (gc_end - state.gcountu[u_pad]).astype(jnp.float32)
     cv = (gc_end - state.gcountv[v_pad]).astype(jnp.float32)
     su = jnp.sqrt(temp * eta * cu) * first_u  # (B,) noise std per slot

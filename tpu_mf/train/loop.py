@@ -145,11 +145,18 @@ def train_dpmf(
 ) -> DPMFState:
     """DP-SGLD training (reference: run(DPMF&) src/main.cc:55-74).
 
-    Per round: one pass over the data with the SGLD kernel, then the round
+    Per round: one pass over the data with the SGLD kernel (the fused Pallas
+    kernel on TPU when eligible, else the XLA op), then the round
     finalization of DPMF::finish_round (model.cc:299-310): flush lazy noise,
     report train/test RMSE, Gibbs-resample the precisions, decay eta with the
     mineta clamp, and checkpoint on the reference's cadence (round >= 100 and
     round % 20 == 0).
+
+    Stability note (inherent to the algorithm, same as the reference's math,
+    dpmf.h:50): the effective per-rating step is eta*ntrain*bound*lambda_r
+    and the per-occurrence decay is eta*bound*invfreq*lambda; keep
+    eta*ntrain*lambda_r below ~0.1 and raise --hyperb to damp the Gibbs
+    growth of lambda_r as the fit improves, or training diverges.
     """
     if state is None:
         key = jax.random.PRNGKey(cfg.seed)
@@ -159,22 +166,44 @@ def train_dpmf(
     ntrain = len(train_ds)
     bound = dp_bound(cfg.epsilon, cfg.tau, train_ds.nv)
 
+    sgld_runner = None
+    if cfg.use_pallas and jax.default_backend() != "cpu":
+        from tpu_mf.ops.pallas_sgld import PallasSgldRunner, sgld_pallas_eligible
+
+        if sgld_pallas_eligible(state, ntrain):
+            sgld_runner = PallasSgldRunner(
+                train_ds, tile_u=256, tile_v=256,
+                batch=max(1024, cfg.batch_size), seed=cfg.seed,
+            )
+
     flat, shuffle = _static_batches(train_ds, cfg.batch_size)
     base_key = jax.random.PRNGKey(cfg.seed ^ 0xD1FF)
 
     t0 = time.perf_counter()
     for rnd in range(1, cfg.iters + 1):
         eta_r = cfg.eta_at_cutoff(rnd)
-        hyper = SgldHyper(
-            eta=jnp.float32(eta_r),
-            temp=jnp.float32(cfg.temp),
-            bound=jnp.float32(bound),
-            ntrain=jnp.float32(ntrain),
-        )
-        kshuf = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5A5A), rnd)
-        batches = shuffle(kshuf, *flat)
-        knoise = jax.random.fold_in(base_key, rnd)
-        state = sgld_epoch(state, batches, hyper, knoise)
+        if sgld_runner is not None:
+            scal = eta_r * ntrain * bound * float(state.lambda_r)
+            sgld_runner.set_lambdas(state)
+            tables = sgld_runner.pad(state)
+            tables = sgld_runner.epoch(
+                tables,
+                int(state.gcount),
+                (eta_r, cfg.temp, bound, scal, float(state.params.gb)),
+                noise_seed=cfg.seed * 1_000_003 + rnd,
+            )
+            state = sgld_runner.unpack(state, tables)
+        else:
+            hyper = SgldHyper(
+                eta=jnp.float32(eta_r),
+                temp=jnp.float32(cfg.temp),
+                bound=jnp.float32(bound),
+                ntrain=jnp.float32(ntrain),
+            )
+            kshuf = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5A5A), rnd)
+            batches = shuffle(kshuf, *flat)
+            knoise = jax.random.fold_in(base_key, rnd)
+            state = sgld_epoch(state, batches, hyper, knoise)
         state = finish_noise(
             state,
             jnp.float32(eta_r),
