@@ -32,7 +32,7 @@ def main() -> None:
     if on_tpu:
         from tpu_mf.ops.pallas_sgd import PallasEpochRunner
 
-        runner = PallasEpochRunner(ds, tile_u=256, tile_v=256, batch=1024, seed=1)
+        runner = PallasEpochRunner(ds, tile_u=512, tile_v=512, batch=4096, seed=1)
         tables = runner.pad(params)
         gb = float(params.gb)
         tables = runner.epoch(tables, eta, lam, gb)  # compile + warm

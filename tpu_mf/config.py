@@ -56,7 +56,12 @@ class TrainConfig:
     stride: int = 2
 
     # --- TPU-native execution knobs (no reference counterpart) ---
-    batch_size: int = 4096     # ratings per synchronous SGD step
+    # Ratings per synchronous SGD step. Stability rule of thumb on skewed
+    # data: a row appearing k times in one gather window accumulates k stale
+    # gradients, so keep (batch_size * max_item_share) * eta well below 2.
+    # The fused TPU kernels apply 8 sequential sub-batches per step, which
+    # relaxes this by 8x relative to the XLA path.
+    batch_size: int = 4096
     seed: int = 0
     dtype: str = "float32"     # storage dtype of factor tables
     mesh: int = 1              # number of devices for diagonal-block DSGD

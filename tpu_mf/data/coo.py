@@ -103,15 +103,27 @@ def synthetic_ratings(
     noise: float = 0.1,
     seed: int = 0,
     gb: float = 3.0,
+    zipf: float = 0.0,
 ) -> RatingsCOO:
-    """Low-rank ground-truth synthetic dataset for tests and benchmarks."""
+    """Low-rank ground-truth synthetic dataset for tests and benchmarks.
+
+    zipf > 0 skews item popularity as p(j) ~ 1/(j+1)^zipf (MovieLens-like
+    long tails at ~0.8-1.0); 0 keeps uniform sampling.
+    """
     rng = np.random.default_rng(seed)
     tu = rng.normal(0, 1.0 / np.sqrt(rank), (nu, rank)).astype(np.float32)
     tv = rng.normal(0, 1.0 / np.sqrt(rank), (nv, rank)).astype(np.float32)
     bu = rng.normal(0, 0.1, nu).astype(np.float32)
     bv = rng.normal(0, 0.1, nv).astype(np.float32)
     u = rng.integers(0, nu, n).astype(np.int32)
-    v = rng.integers(0, nv, n).astype(np.int32)
+    if zipf > 0.0:
+        p = 1.0 / np.power(np.arange(1, nv + 1, dtype=np.float64), zipf)
+        p /= p.sum()
+        # shuffle so popularity is not correlated with item id
+        p = p[rng.permutation(nv)]
+        v = rng.choice(nv, size=n, p=p).astype(np.int32)
+    else:
+        v = rng.integers(0, nv, n).astype(np.int32)
     r = (
         gb
         + bu[u]

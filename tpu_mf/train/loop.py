@@ -102,8 +102,8 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log) -> MFParams:
     from tpu_mf.ops.pallas_sgd import PallasEpochRunner
 
     runner = PallasEpochRunner(
-        train_ds, tile_u=256, tile_v=256,
-        batch=max(1024, cfg.batch_size), seed=cfg.seed,
+        train_ds, tile_u=512, tile_v=512,
+        batch=max(4096, cfg.batch_size), seed=cfg.seed,
     )
     tables = runner.pad(params)
     gb = float(params.gb)
@@ -172,8 +172,8 @@ def train_dpmf(
 
         if sgld_pallas_eligible(state, ntrain):
             sgld_runner = PallasSgldRunner(
-                train_ds, tile_u=256, tile_v=256,
-                batch=max(1024, cfg.batch_size), seed=cfg.seed,
+                train_ds, tile_u=512, tile_v=512,
+                batch=max(4096, cfg.batch_size), seed=cfg.seed,
             )
 
     flat, shuffle = _static_batches(train_ds, cfg.batch_size)
