@@ -1,0 +1,377 @@
+"""Fused Pallas TPU kernel for adaptive-regularization MF epochs.
+
+The SGD fused kernel (ops/pallas_sgd.py — read that first) extended with the
+AdaptRegMF semantics of ops/adreg.py (reference: src/admf.h:52-86):
+
+* the four learned regularizers enter as per-lane decay vectors
+  lamvec_u = [lam_u x dim | lam_bu], lamvec_v = [lam_v x dim | lam_bv], so
+  factor lanes and the bias lane decay with their own learned rates inside
+  the same geometric per-occurrence factor;
+* optional logistic activation on the prediction (reference loss selector,
+  util.h:90-95);
+* the per-user hypergradient step on the lambdas (reference: admf.h:82-83,
+  model.h:86-102) runs BETWEEN kernel segments: an epoch is split into S
+  pallas_call segments, and after each one a vectorized XLA hypergradient
+  against a validation sample moves the lambdas, scaled by the number of
+  user-visits the segment processed. The reference's "old" (pre-update)
+  factor snapshot is approximated by the segment-start tables — identical
+  for rows the segment did not touch and one segment staler for rows it did,
+  which vanishes at the eta_reg*eta scale of the hypergradient.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_mf.data.coo import RatingsCOO
+from tpu_mf.models.admf import AdaptRegState
+from tpu_mf.models.mf import MFParams
+from tpu_mf.ops.pallas_sgd import (
+    CellPlan,
+    cdiv,
+    pad_params,
+    prepare_cells,
+    row_lanes,
+    split_params,
+)
+
+
+def _adreg_kernel(
+    # scalar prefetch
+    gu_ref, gv_ref, hyper_ref,
+    # blocked inputs
+    u_ref, v_ref, ut_ref, vt_ref, r_ref, w_ref, theta_ref, lam_ref,
+    # HBM-resident input (aliased with the resident output)
+    phi_hbm,
+    # outputs
+    theta_out, phi_out,
+    # scratch
+    sem,
+    *, tile_u, tile_v, batch, dim, lanes, mxu_dtype, loss,
+):
+    eta = hyper_ref[0]
+    gb = hyper_ref[1]
+
+    i = pl.program_id(0)
+    prev = jnp.maximum(i - 1, 0)
+    new_gu = (i == 0) | (gu_ref[i] != gu_ref[prev])
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(phi_hbm, phi_out, sem)
+        cp.start()
+        cp.wait()
+
+    @pl.when(new_gu)
+    def _():
+        theta_out[:] = theta_ref[:]
+
+    sub = batch // 8
+    u3 = u_ref[0]
+    v3 = v_ref[0]
+    ut3 = ut_ref[0]
+    vt3 = vt_ref[0]
+    r3 = r_ref[0]
+    w3 = w_ref[0]
+    lam_u = lam_ref[0:1, :]  # (1, lanes): [lam_u x dim | lam_bu | 0...]
+    lam_v = lam_ref[1:2, :]
+
+    off = pl.multiple_of(gv_ref[i] * tile_v, tile_v)
+    theta = theta_out[:]
+    phi = phi_out[pl.ds(off, tile_v), :]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    m_fac = (lane < dim).astype(jnp.float32)
+    m_bias = (lane == dim).astype(jnp.float32)
+    m_keep = m_fac + m_bias
+
+    iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_u), 1)
+    iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_v), 1)
+    iota_ut = jax.lax.broadcasted_iota(jnp.int32, (tile_u, sub), 0)
+    iota_vt = jax.lax.broadcasted_iota(jnp.int32, (tile_v, sub), 0)
+
+    # Per-lane geometric decay bases from the learned lambdas; bookkeeping
+    # lanes have lamvec 0 -> base 1 -> never decay.
+    ln_u = jnp.log(jnp.maximum(1.0 - eta * lam_u, 1e-30))  # (1, lanes)
+    ln_v = jnp.log(jnp.maximum(1.0 - eta * lam_v, 1e-30))
+
+    for k in range(8):
+        theta_mx = theta.astype(mxu_dtype)
+        phi_mx = phi.astype(mxu_dtype)
+        oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
+        oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
+        oht_u = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
+        oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
+
+        t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
+        p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
+        q = p * m_fac + m_bias
+        score = (
+            jnp.sum(t * q, axis=1, keepdims=True)
+            + jnp.sum(p * m_bias, axis=1, keepdims=True)
+            + gb
+        )
+        pred = jax.nn.sigmoid(score) if loss == 1 else score
+        wk = w3[:, k : k + 1]
+        err = (eta * wk) * (r3[:, k : k + 1] - pred)
+
+        d_theta = jnp.dot(
+            oht_u, (err * q).astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        d_phi = jnp.dot(
+            oht_v, (err * (t * m_fac + m_bias)).astype(mxu_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        wk_mx = wk.astype(mxu_dtype)
+        k_u = jnp.dot(oht_u, wk_mx, preferred_element_type=jnp.float32)
+        k_v = jnp.dot(oht_v, wk_mx, preferred_element_type=jnp.float32)
+        theta = theta * jnp.exp(k_u * ln_u) + d_theta * m_keep
+        phi = phi * jnp.exp(k_v * ln_v) + d_phi * m_keep
+
+    theta_out[:] = theta
+    phi_out[pl.ds(off, tile_v), :] = phi
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=(
+        "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu",
+        "interpret", "loss",
+    ),
+)
+def _run_adreg_segment(
+    theta_ext, phi_ext,
+    gu, gv, u, v, ut, vt, r, w, hyper, lamvec,
+    *, tile_u, tile_v, batch, dim, n_gu, n_gv,
+    mxu="bfloat16", interpret=False, loss=0,
+):
+    nb = u.shape[0]
+    lanes = row_lanes(dim)
+    kernel = functools.partial(
+        _adreg_kernel,
+        tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, lanes=lanes,
+        mxu_dtype=jnp.dtype(mxu), loss=loss,
+    )
+    sub = batch // 8
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # u
+            pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # v
+            pl.BlockSpec((1, 8, sub), lambda i, *_: (i, 0, 0)),   # ut
+            pl.BlockSpec((1, 8, sub), lambda i, *_: (i, 0, 0)),   # vt
+            pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # r
+            pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # w
+            pl.BlockSpec((tile_u, lanes), lambda i, gu, *_: (gu[i], 0)),
+            pl.BlockSpec((2, lanes), lambda i, *_: (0, 0)),       # lamvec
+            pl.BlockSpec(memory_space=pl.ANY),                    # phi (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_u, lanes), lambda i, gu, *_: (gu[i], 0)),
+            pl.BlockSpec((n_gv * tile_v, lanes), lambda i, *_: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    theta_ext, phi_ext = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gu * tile_u, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_gv * tile_v, lanes), jnp.float32),
+        ],
+        # operands incl. 3 scalar-prefetch args: theta=9, phi=11 -> outs 0,1
+        input_output_aliases={9: 0, 11: 1},
+        interpret=interpret,
+    )(gu, gv, hyper, u, v, ut, vt, r, w, theta_ext, lamvec, phi_ext)
+    return theta_ext, phi_ext
+
+
+@functools.partial(jax.jit, static_argnames=("loss", "n_samples"))
+def hypergrad_lambdas(
+    params_new: MFParams,
+    theta_old, phi_old, bu_old, bv_old,
+    lams: jax.Array,          # (4,) [lam_u, lam_v, lam_bu, lam_bv]
+    valid: Tuple[jax.Array, jax.Array, jax.Array],
+    key: jax.Array,
+    eta: jax.Array,
+    eta_reg: jax.Array,
+    n_visits: jax.Array,      # user-visits this segment processed
+    loss: int = 0,
+    n_samples: int = 64,
+) -> jax.Array:
+    """Vectorized hypergradient step on the four lambdas (model.h:86-102)."""
+    uv, vv, rv = valid
+    ksel = jax.random.randint(key, (n_samples,), 0, uv.shape[0])
+    su, sv, sr = uv[ksel], vv[ksel], rv[ksel]
+
+    t_new = params_new.theta[su].astype(jnp.float32)
+    p_new = params_new.phi[sv].astype(jnp.float32)
+    score = (
+        jnp.sum(t_new * p_new, axis=-1)
+        + params_new.bu[su].astype(jnp.float32)
+        + params_new.bv[sv].astype(jnp.float32)
+        + params_new.gb.astype(jnp.float32)
+    )
+    pred = jax.nn.sigmoid(score) if loss == 1 else score
+    grad = sr - pred
+
+    inner_u = jnp.sum(theta_old[su].astype(jnp.float32) * p_new, axis=-1)
+    inner_v = jnp.sum(t_new * phi_old[sv].astype(jnp.float32), axis=-1)
+    scale = (eta_reg * eta) * n_visits / n_samples
+    steps = jnp.stack(
+        [
+            jnp.sum(grad * inner_u),
+            jnp.sum(grad * inner_v),
+            jnp.sum(grad * bu_old[su].astype(jnp.float32)),
+            jnp.sum(grad * bv_old[sv].astype(jnp.float32)),
+        ]
+    )
+    return jnp.maximum(0.0, lams - scale * steps)
+
+
+class PallasAdRegRunner:
+    """Fused AdaptReg epochs: S kernel segments with lambda hypergradient
+    updates (and shadow-snapshot refresh) between them."""
+
+    def __init__(
+        self,
+        train_ds: RatingsCOO,
+        valid_ds: RatingsCOO,
+        tile_u: int = 512,
+        tile_v: int = 512,
+        batch: int = 4096,
+        segments: int = 8,
+        seed: int = 0,
+        mxu: str = "bfloat16",
+        interpret: bool = False,
+        loss: int = 0,
+        n_reg_samples: int = 64,
+    ):
+        plan = prepare_cells(train_ds, tile_u, tile_v, batch, seed)
+        # Pad the batch list to a multiple of `segments` with no-op batches
+        # (w=0, sentinel ids, tile 0).
+        nb = plan.u.shape[0]
+        segments = min(segments, nb)
+        nb_pad = cdiv(nb, segments) * segments
+        pad = nb_pad - nb
+        sub = batch // 8
+
+        def padb(x, fill):
+            extra = np.full((pad,) + x.shape[1:], fill, x.dtype)
+            return np.concatenate([x, extra])
+
+        self.gu = padb(plan.gu, 0)
+        self.gv = padb(plan.gv, 0)
+        u = padb(plan.u, tile_u)
+        v = padb(plan.v, tile_v)
+        r = padb(plan.r, 0)
+        w = padb(plan.w, 0)
+        self.plan = plan
+        self.nu, self.nv = train_ds.nu, train_ds.nv
+        self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
+        self.segments, self.seg_len = segments, nb_pad // segments
+        self.mxu, self.interpret, self.loss = mxu, interpret, loss
+        self.n_reg_samples = n_reg_samples
+
+        # user-visits per segment: distinct real users per batch, summed.
+        visits = np.zeros(nb_pad, np.float64)
+        for b in range(nb):
+            real = plan.w[b].reshape(-1) > 0
+            visits[b] = len(np.unique(plan.u[b].reshape(-1)[real]))
+        self.visits_per_seg = visits.reshape(segments, -1).sum(1).astype(np.float32)
+
+        def seg(x):
+            return [
+                jnp.asarray(x[s * self.seg_len : (s + 1) * self.seg_len])
+                for s in range(segments)
+            ]
+
+        self.dev = {
+            "gu": seg(self.gu), "gv": seg(self.gv),
+            "u": seg(u), "v": seg(v),
+            "ut": seg(np.swapaxes(u, 1, 2).copy()),
+            "vt": seg(np.swapaxes(v, 1, 2).copy()),
+            "r": seg(r), "w": seg(w),
+        }
+        self.valid = (
+            jnp.asarray(valid_ds.u),
+            jnp.asarray(valid_ds.v),
+            jnp.asarray(valid_ds.r),
+        )
+
+    def pad(self, state: AdaptRegState):
+        self.dim = state.params.theta.shape[1]
+        self.gb = float(state.params.gb)
+        self.lams = jnp.stack(
+            [state.lam_u, state.lam_v, state.lam_bu, state.lam_bv]
+        ).astype(jnp.float32)
+        return pad_params(state.params, self.plan)
+
+    def _lamvec(self) -> jax.Array:
+        lanes = row_lanes(self.dim)
+        lu = jnp.zeros((lanes,), jnp.float32)
+        lu = lu.at[: self.dim].set(self.lams[0]).at[self.dim].set(self.lams[2])
+        lv = jnp.zeros((lanes,), jnp.float32)
+        lv = lv.at[: self.dim].set(self.lams[1]).at[self.dim].set(self.lams[3])
+        return jnp.stack([lu, lv])
+
+    def epoch(self, tables, eta: float, eta_reg: float, key: jax.Array):
+        hyper = jnp.asarray([eta, self.gb], jnp.float32)
+        for s in range(self.segments):
+            old = self.trim(tables)  # segment-start snapshot (cheap slices)
+            tables = _run_adreg_segment(
+                tables[0], tables[1],
+                self.dev["gu"][s], self.dev["gv"][s],
+                self.dev["u"][s], self.dev["v"][s],
+                self.dev["ut"][s], self.dev["vt"][s],
+                self.dev["r"][s], self.dev["w"][s],
+                hyper, self._lamvec(),
+                tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
+                dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
+                mxu=self.mxu, interpret=self.interpret, loss=self.loss,
+            )
+            new = self.trim(tables)
+            self.lams = hypergrad_lambdas(
+                new, old.theta, old.phi, old.bu, old.bv,
+                self.lams, self.valid, jax.random.fold_in(key, s),
+                jnp.float32(eta), jnp.float32(eta_reg),
+                jnp.float32(self.visits_per_seg[s]),
+                loss=self.loss, n_samples=self.n_reg_samples,
+            )
+        return tables
+
+    def trim(self, tables) -> MFParams:
+        return split_params(
+            tables[0], tables[1], self.nu, self.nv, self.dim, self.gb
+        )
+
+    def state(self, tables, template: AdaptRegState) -> AdaptRegState:
+        params = self.trim(tables)
+        return template._replace(
+            params=params,
+            theta_old=params.theta,
+            phi_old=params.phi,
+            bu_old=params.bu,
+            bv_old=params.bv,
+            lam_u=self.lams[0], lam_v=self.lams[1],
+            lam_bu=self.lams[2], lam_bv=self.lams[3],
+        )
+
+
+def adreg_pallas_eligible(state: AdaptRegState, batch_size: int) -> bool:
+    from tpu_mf.ops.pallas_sgd import MAX_DIM
+
+    dim = state.params.theta.shape[1]
+    nv = state.params.phi.shape[0]
+    vmem_phi = cdiv(nv, 512) * 512 * row_lanes(min(dim, MAX_DIM)) * 4
+    return dim <= MAX_DIM and vmem_phi <= 12 * 1024 * 1024

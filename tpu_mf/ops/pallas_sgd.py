@@ -23,8 +23,8 @@ reformulated to run almost entirely on the MXU:
   counts in a single matmul. The counts drive the geometric per-occurrence
   decay (1 - eta*lambda)^k (same semantics as ops/sgd.py / ops/common.py).
 
-Requires dim <= 126 (two lanes are reserved); pick_epoch_fn falls back to
-the XLA path otherwise.
+Rows occupy one 128-lane group for dim <= 126 and two for dim <= 254
+(row_lanes); beyond that the XLA path takes over.
 """
 
 from __future__ import annotations
@@ -41,8 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.mf import MFParams
 
-LANES = 128          # MXU/VPU lane width: row = [dim factors | bias | count]
-MAX_DIM = LANES - 2  # factor dims supported by the fused layout
+LANES = 128           # base lane width; rows use 1-2 lane groups
+MAX_DIM = 2 * LANES - 2  # row = [dim factors | bias | count] in <=256 lanes
+
+
+def row_lanes(dim: int) -> int:
+    """Lane width of a fused table row: 128 for dim <= 126, else 256."""
+    assert dim <= MAX_DIM, f"fused kernels support dim <= {MAX_DIM}, got {dim}"
+    return LANES if dim <= LANES - 2 else 2 * LANES
 
 
 def cdiv(a: int, b: int) -> int:
@@ -125,16 +131,16 @@ def prepare_cells(
 
 
 def pad_params(params: MFParams, plan: CellPlan) -> Tuple[jax.Array, jax.Array]:
-    """Fused-layout tables: rows are [factors | bias | 0] in 128 lanes."""
+    """Fused-layout tables: rows are [factors | bias | 0] in row_lanes(dim)."""
     dim = params.theta.shape[1]
-    assert dim <= MAX_DIM, f"fused kernel supports dim <= {MAX_DIM}, got {dim}"
+    lanes = row_lanes(dim)
     pu = plan.n_gu * plan.tile_u
     pv = plan.n_gv * plan.tile_v
 
     def fuse(fac, bias, rows):
         ext = jnp.concatenate([fac, bias[:, None]], axis=1)
         return jnp.pad(
-            ext, ((0, rows - ext.shape[0]), (0, LANES - ext.shape[1]))
+            ext, ((0, rows - ext.shape[0]), (0, lanes - ext.shape[1]))
         ).astype(jnp.float32)
 
     return (
@@ -166,7 +172,7 @@ def _epoch_kernel(
     theta_out, phi_out,
     # scratch
     sem,
-    *, tile_u: int, tile_v: int, batch: int, dim: int, mxu_dtype,
+    *, tile_u: int, tile_v: int, batch: int, dim: int, lanes: int, mxu_dtype,
 ):
     eta = hyper_ref[0]
     lam = hyper_ref[1]
@@ -203,7 +209,7 @@ def _epoch_kernel(
     phi = phi_out[pl.ds(off, tile_v), :]   # (TILE_V, 128) fp32 view
 
     # Lane-role masks for the fused [factors | bias | count] row layout.
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     m_fac = (lane < dim).astype(jnp.float32)        # factor lanes
     m_bias = (lane == dim).astype(jnp.float32)      # bias lane
     m_cnt = (lane == dim + 1).astype(jnp.float32)   # count scratch lane
@@ -281,9 +287,10 @@ def _run_epoch(
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
 ):
     nb = u.shape[0]
+    lanes = row_lanes(dim)
     kernel = functools.partial(
         _epoch_kernel,
-        tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
+        tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, lanes=lanes,
         mxu_dtype=jnp.dtype(mxu),
     )
     sub = batch // 8
@@ -297,12 +304,12 @@ def _run_epoch(
             pl.BlockSpec((1, 8, sub), lambda i, gu, gv, h: (i, 0, 0)),   # vt
             pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # r
             pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # w
-            pl.BlockSpec((tile_u, LANES), lambda i, gu, gv, h: (gu[i], 0)),  # theta
+            pl.BlockSpec((tile_u, lanes), lambda i, gu, gv, h: (gu[i], 0)),  # theta
             pl.BlockSpec(memory_space=pltpu.ANY),                            # phi (HBM)
         ],
         out_specs=[
-            pl.BlockSpec((tile_u, LANES), lambda i, gu, gv, h: (gu[i], 0)),
-            pl.BlockSpec((n_gv * tile_v, LANES), lambda i, gu, gv, h: (0, 0)),
+            pl.BlockSpec((tile_u, lanes), lambda i, gu, gv, h: (gu[i], 0)),
+            pl.BlockSpec((n_gv * tile_v, lanes), lambda i, gu, gv, h: (0, 0)),
         ],
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
@@ -310,8 +317,8 @@ def _run_epoch(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_gu * tile_u, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_gv * tile_v, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_gu * tile_u, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_gv * tile_v, lanes), jnp.float32),
         ],
         # operand indices include the 3 scalar-prefetch args: theta=9,
         # phi=10 -> outputs 0, 1.
@@ -381,7 +388,7 @@ def pallas_eligible(params: MFParams, batch_size: int) -> bool:
     """The fused kernel needs dim <= 126 and an item table that fits VMEM."""
     dim = params.theta.shape[1]
     nv = params.phi.shape[0]
-    vmem_phi = cdiv(nv, 512) * 512 * LANES * 4
+    vmem_phi = cdiv(nv, 512) * 512 * row_lanes(dim) * 4
     return dim <= MAX_DIM and vmem_phi <= 12 * 1024 * 1024
 
 

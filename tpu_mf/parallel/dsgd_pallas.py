@@ -28,7 +28,7 @@ from tpu_mf.data.blocker import cdiv
 from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.mf import MFParams
 from tpu_mf.ops import pallas_sgd
-from tpu_mf.ops.pallas_sgd import LANES, pad_params, prepare_cells
+from tpu_mf.ops.pallas_sgd import pad_params, prepare_cells, row_lanes
 from tpu_mf.parallel.mesh import AXIS, row_sharding
 
 
@@ -118,11 +118,12 @@ def pad_sharded(params: MFParams, splan: ShardedPlan, mesh: Mesh):
     """Fused-layout tables padded to P*chunk rows and device_put sharded."""
     n_dev = mesh.devices.size
     dim = params.theta.shape[1]
+    lanes = row_lanes(dim)
 
     def fuse(fac, bias, rows):
         ext = jnp.concatenate([fac, bias[:, None]], axis=1)
         return jnp.pad(
-            ext, ((0, rows - ext.shape[0]), (0, LANES - ext.shape[1]))
+            ext, ((0, rows - ext.shape[0]), (0, lanes - ext.shape[1]))
         ).astype(jnp.float32)
 
     shard = row_sharding(mesh)
