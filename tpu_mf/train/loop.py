@@ -49,6 +49,9 @@ def train_mf(
         key = jax.random.PRNGKey(cfg.seed)
         params = init_mf(key, nu, nv, cfg.dim, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype))
 
+    if cfg.mesh > 1:
+        return _train_mf_sharded(cfg, train_ds, test_ds, params, log)
+
     if cfg.use_pallas and jax.default_backend() != "cpu":
         from tpu_mf.ops.pallas_sgd import PallasEpochRunner, pallas_eligible
 
@@ -118,6 +121,80 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log) -> MFParams:
         else:
             log(f"iter#{it}\t{elapsed:f}")
     return runner.trim(tables)
+
+
+def _train_mf_sharded(cfg, train_ds, test_ds, params, log) -> MFParams:
+    """MF training over a --mesh N device mesh (diagonal-block DSGD).
+
+    Uses the fused Pallas kernel per device on TPU, the XLA kernel on CPU
+    meshes (where Pallas would run interpreted).
+    """
+    from tpu_mf.parallel.mesh import make_mesh
+
+    mesh = make_mesh(cfg.mesh)
+    on_tpu = jax.default_backend() != "cpu"
+    t0 = time.perf_counter()
+    if cfg.use_pallas and on_tpu:
+        from tpu_mf.parallel.dsgd_pallas import ShardedPallasRunner
+
+        runner = ShardedPallasRunner(
+            train_ds, mesh, tile_u=512, tile_v=512,
+            batch=max(4096, cfg.batch_size), seed=cfg.seed,
+        )
+        tables = runner.pad(params)
+        for it in range(1, cfg.iters + 1):
+            tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam)
+            jax.block_until_ready(tables[0])
+            elapsed = time.perf_counter() - t0
+            if test_ds is not None:
+                t_rmse = rmse(runner.trim(tables), test_ds)
+                log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
+            else:
+                log(f"iter#{it}\t{elapsed:f}")
+        return runner.trim(tables)
+
+    from tpu_mf.data.blocker import partition_diagonal
+    from tpu_mf.parallel.dsgd import (
+        dsgd_epoch,
+        gather_params,
+        init_sharded_mf,
+        put_blocks,
+    )
+
+    blocks = put_blocks(
+        mesh, partition_diagonal(train_ds, cfg.mesh, cfg.batch_size, cfg.seed)
+    )
+    state = init_sharded_mf(
+        jax.random.PRNGKey(cfg.seed), mesh, train_ds.nu, train_ds.nv,
+        cfg.dim, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype),
+    )
+    # Warm-start params override the fresh init when provided.
+    if params is not None:
+        from tpu_mf.parallel.mesh import row_sharding
+
+        shard = row_sharding(mesh)
+        pu = state.theta.shape[0]
+        pv = state.phi.shape[0]
+        state = state._replace(
+            theta=jax.device_put(
+                jnp.pad(params.theta, ((0, pu - train_ds.nu), (0, 0))), shard
+            ),
+            phi=jax.device_put(
+                jnp.pad(params.phi, ((0, pv - train_ds.nv), (0, 0))), shard
+            ),
+            bu=jax.device_put(jnp.pad(params.bu, (0, pu - train_ds.nu)), shard),
+            bv=jax.device_put(jnp.pad(params.bv, (0, pv - train_ds.nv)), shard),
+        )
+    for it in range(1, cfg.iters + 1):
+        state = dsgd_epoch(mesh, state, blocks, cfg.eta_at(it), cfg.lam)
+        jax.block_until_ready(state.theta)
+        elapsed = time.perf_counter() - t0
+        if test_ds is not None:
+            t_rmse = rmse(gather_params(state), test_ds)
+            log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
+        else:
+            log(f"iter#{it}\t{elapsed:f}")
+    return gather_params(state)
 
 
 def _static_batches(ds: RatingsCOO, batch_size: int):
