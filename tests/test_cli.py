@@ -1,0 +1,99 @@
+"""End-to-end CLI integration tests (tiny data, CPU backend)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from tpu_mf.cli import build_parser, main
+from tpu_mf.data.coo import synthetic_ratings
+from tpu_mf.data.proto import write_block_frames
+from tpu_mf.io.checkpoint import load_mf_binary
+
+
+@pytest.fixture(scope="module")
+def data(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    ds = synthetic_ratings(60, 40, 4000, rank=3, noise=0.1, seed=0)
+    train, rest = ds.split(0.3, seed=1)
+    valid, test = rest.split(0.5, seed=2)
+    paths = {}
+    for name, part in (("train", train), ("valid", valid), ("test", test)):
+        p = str(d / f"{name}.pb")
+        write_block_frames(p, part)
+        paths[name] = p
+    paths["gb"] = f"{ds.mean_rating():.6f}"
+    paths["dir"] = str(d)
+    return paths
+
+
+def base_args(data, alg):
+    return [
+        "--alg", alg, "--train", data["train"], "--test", data["test"],
+        "--dim", "4", "--iter", "2", "--bias", data["gb"],
+        "--batch_size", "256", "--gam", "0.3",
+    ]
+
+
+def test_cli_mf_trains_and_checkpoints(data, capsys):
+    result = os.path.join(data["dir"], "mf_model")
+    rc = main(base_args(data, "mf") + ["--eta", "0.05", "--result", result])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("tRMSE=") == 2
+    params, lam = load_mf_binary(result + "_2", gb=float(data["gb"]))
+    assert params.theta.shape == (60, 4)
+
+    # warm start from the checkpoint continues training
+    rc = main(
+        base_args(data, "mf") + ["--eta", "0.05", "--model", result + "_2"]
+    )
+    assert rc == 0
+
+
+def test_cli_dpmf_trains(data, capsys):
+    rc = main(
+        base_args(data, "dpmf")
+        + ["--eta", "1e-5", "--temp", "1e-6", "--hyperb", "1000"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("round #") == 2
+    assert "nan" not in out
+
+
+def test_cli_admf_trains(data, capsys):
+    rc = main(
+        base_args(data, "admf")
+        + ["--valid", data["valid"], "--eta", "0.05", "--eta_reg", "1e-3"]
+    )
+    assert rc == 0
+    assert capsys.readouterr().out.count("tRMSE=") == 2
+
+
+def test_cli_admf_requires_valid(data, capsys):
+    rc = main(base_args(data, "admf") + ["--eta", "0.05"])
+    assert rc == 1
+
+
+def test_cli_requires_train():
+    assert main(["--alg", "mf"]) == 1
+
+
+def test_cli_accepts_every_reference_flag():
+    """Every flag of the reference's parser (main.cc:106-137) must parse."""
+    argv = []
+    for flag, val in [
+        ("--train", "x"), ("--test", "x"), ("--valid", "x"), ("--result", "x"),
+        ("--model", "x"), ("--alg", "mf"), ("--dim", "4"), ("--iter", "1"),
+        ("--nu", "10"), ("--nv", "10"), ("--fly", "8"), ("--stride", "2"),
+        ("--eta", "1e-2"), ("--lambda", "1e-3"), ("--gam", "1.0"),
+        ("--bias", "2.76"), ("--mineta", "1e-13"), ("--epsilon", "0.1"),
+        ("--tau", "10"), ("--hypera", "1.0"), ("--hyperb", "100.0"),
+        ("--temp", "1.0"), ("--noise_size", "1000"), ("--eta_reg", "2e-3"),
+        ("--loss", "0"), ("--measure", "0"),
+    ]:
+        argv += [flag, val]
+    args = build_parser().parse_args(argv)
+    assert args.lam == pytest.approx(1e-3)
+    assert args.gb == pytest.approx(2.76)

@@ -15,6 +15,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import sys
 
 from tpu_mf.config import TrainConfig
@@ -109,9 +110,12 @@ def main(argv=None) -> int:
     test_ds = read_any(cfg.test, nu=train_ds.nu, nv=train_ds.nv) if cfg.test else None
 
     if cfg.alg == "mf":
-        params0, lam = (None, cfg.lam)
+        params0 = None
         if cfg.model:
+            # Warm start adopts the checkpoint's lambda, as the reference's
+            # read_model does (model.cc:81 reads lambda_ into the model).
             params0, lam = load_mf_binary(cfg.model, gb=cfg.gb)
+            cfg = dataclasses.replace(cfg, lam=lam)
         params = train_mf(cfg, train_ds, test_ds=test_ds, params=params0)
         if cfg.result:
             if cfg.result.endswith(".npz"):
