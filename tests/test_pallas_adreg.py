@@ -41,7 +41,7 @@ def test_adreg_pallas_sgd_part_matches_xla():
         for k in range(8):
             w = plan.w[i][:, k]
             ul = np.where(w > 0, plan.u[i][:, k], 0) + plan.gu[i] * 128 * (w > 0)
-            vl = np.where(w > 0, plan.v[i][:, k], 0) + plan.gv[i] * 128 * (w > 0)
+            vl = np.where(w > 0, plan.v[i][:, k], 0) + plan.gv[i, k] * 128 * (w > 0)
             batch = (
                 jnp.asarray(ul.astype(np.int32)),
                 jnp.asarray(vl.astype(np.int32)),

@@ -21,7 +21,7 @@ def reference_epoch_on_plan(params, plan, eta, lam):
         for k in range(8):
             w = plan.w[i][:, k]
             gu_off = plan.gu[i] * plan.tile_u
-            gv_off = plan.gv[i] * plan.tile_v
+            gv_off = plan.gv[i, k] * plan.tile_v
             ul = np.where(w > 0, plan.u[i][:, k], 0)
             vl = np.where(w > 0, plan.v[i][:, k], 0)
             batch = (
@@ -41,9 +41,10 @@ def test_cellplan_covers_all_ratings():
     # every batch's cell indices in range; sentinel only where w == 0
     assert (plan.u[plan.w > 0] < plan.tile_u).all()
     assert (plan.u[plan.w == 0] == plan.tile_u).all()
-    # batches sorted by (gu, gv) for consecutive tile revisits
-    cells = plan.gu.astype(np.int64) * plan.n_gv + plan.gv
-    assert (np.diff(cells) >= 0).all()
+    # batches sorted by gu for consecutive theta-tile revisits
+    assert (np.diff(plan.gu) >= 0).all()
+    # real sub-batch columns are single-cell: all their gv entries valid
+    assert (plan.gv >= 0).all() and (plan.gv < plan.n_gv).all()
 
 
 def test_pallas_epoch_matches_jax_kernel_interpret():

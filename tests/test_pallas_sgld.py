@@ -22,7 +22,7 @@ def replay_xla(state, plan, hyper, key):
         for k in range(8):
             w = plan.w[i][:, k]
             gu_off = plan.gu[i] * plan.tile_u
-            gv_off = plan.gv[i] * plan.tile_v
+            gv_off = plan.gv[i, k] * plan.tile_v
             ul = np.where(w > 0, plan.u[i][:, k], 0) + gu_off * (w > 0)
             vl = np.where(w > 0, plan.v[i][:, k], 0) + gv_off * (w > 0)
             batch = (

@@ -83,9 +83,7 @@ def _adreg_kernel(
     lam_u = lam_ref[0:1, :]  # (1, lanes): [lam_u x dim | lam_bu | 0...]
     lam_v = lam_ref[1:2, :]
 
-    off = pl.multiple_of(gv_ref[i] * tile_v, tile_v)
     theta = theta_out[:]
-    phi = phi_out[pl.ds(off, tile_v), :]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     m_fac = (lane < dim).astype(jnp.float32)
@@ -103,6 +101,8 @@ def _adreg_kernel(
     ln_v = jnp.log(jnp.maximum(1.0 - eta * lam_v, 1e-30))
 
     for k in range(8):
+        off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
+        phi = phi_out[pl.ds(off, tile_v), :]
         theta_mx = theta.astype(mxu_dtype)
         phi_mx = phi.astype(mxu_dtype)
         oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
@@ -134,10 +134,9 @@ def _adreg_kernel(
         k_u = jnp.dot(oht_u, wk_mx, preferred_element_type=jnp.float32)
         k_v = jnp.dot(oht_v, wk_mx, preferred_element_type=jnp.float32)
         theta = theta * jnp.exp(k_u * ln_u) + d_theta * m_keep
-        phi = phi * jnp.exp(k_v * ln_v) + d_phi * m_keep
+        phi_out[pl.ds(off, tile_v), :] = phi * jnp.exp(k_v * ln_v) + d_phi * m_keep
 
     theta_out[:] = theta
-    phi_out[pl.ds(off, tile_v), :] = phi
 
 
 @functools.partial(
@@ -155,6 +154,7 @@ def _run_adreg_segment(
     mxu="bfloat16", interpret=False, loss=0,
 ):
     nb = u.shape[0]
+    gv = gv.reshape(-1)  # (nb*8,) per-column item-tile indices
     lanes = row_lanes(dim)
     kernel = functools.partial(
         _adreg_kernel,

@@ -116,9 +116,7 @@ def _sgld_kernel(
     lam_u = lam_ref[0:1, :]   # (1, LANES): [lambda_u | lambda_ub | 0 0 0..]
     lam_v = lam_ref[1:2, :]
 
-    off = pl.multiple_of(gv_ref[i] * tile_v, tile_v)
     theta = theta_out[:]
-    phi = phi_out[pl.ds(off, tile_v), :]
 
     # Lane-role masks for [factors | bias | cnt | gcount | invfreq].
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
@@ -126,100 +124,105 @@ def _sgld_kernel(
     m_bias = (lane == dim).astype(jnp.float32)
     m_keep = m_fac + m_bias
     m_gc = (lane == dim + 2).astype(jnp.float32)
+    m_inv = (lane == dim + 3).astype(jnp.float32)
 
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_u), 1)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_v), 1)
     iota_ut = jax.lax.broadcasted_iota(jnp.int32, (tile_u, sub), 0)
     iota_vt = jax.lax.broadcasted_iota(jnp.int32, (tile_v, sub), 0)
 
-    # --- pass 1: one-hots + per-row touch counts (needed before noise) ---
+    def powk(ln_mag, neg, k):
+        # |base|^k * (-1)^(k odd & base<0): matches jnp.power for integer k
+        # and degrades like the sequential reference when base < 0
+        # (oscillating divergence) instead of NaN-ing through log(negative).
+        sign = jnp.where(neg & (jnp.mod(k, 2.0) == 1.0), -1.0, 1.0)
+        return jnp.where(k == 0, 1.0, sign * jnp.exp(k * ln_mag))
+
+    # --- u-side one-hots + total touch counts (for batch-granular noise) ---
     oh_u = []
-    oh_v = []
     oht_u = []
-    oht_v = []
     k_u = jnp.zeros((tile_u, 1), jnp.float32)
-    k_v = jnp.zeros((tile_v, 1), jnp.float32)
     for k in range(8):
         oh_u.append((iota_u == u3[:, k : k + 1]).astype(mxu_dtype))
-        oh_v.append((iota_v == v3[:, k : k + 1]).astype(mxu_dtype))
         oht_u.append((iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype))
-        oht_v.append((iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype))
         wk = w3[:, k : k + 1].astype(mxu_dtype)
         k_u += jnp.dot(oht_u[k], wk, preferred_element_type=jnp.float32)
-        k_v += jnp.dot(oht_v[k], wk, preferred_element_type=jnp.float32)
 
-    # --- lazy Langevin noise (reference: dpmf.h:61-70; ops/sgld.py) ---
+    # --- lazy Langevin noise, u side (reference: dpmf.h:61-70) ---
     gc_end = cum_ref[i].astype(jnp.float32)  # real ratings through this batch
     touched_u = (k_u > 0).astype(jnp.float32)
-    touched_v = (k_v > 0).astype(jnp.float32)
     cnt_u = jnp.sum(theta * m_gc, axis=1, keepdims=True)  # (TILE_U, 1)
-    cnt_v = jnp.sum(phi * m_gc, axis=1, keepdims=True)
     std_u = jnp.sqrt(jnp.maximum(temp * eta * (gc_end - cnt_u), 0.0)) * touched_u
-    std_v = jnp.sqrt(jnp.maximum(temp * eta * (gc_end - cnt_v), 0.0)) * touched_v
     theta = (
         theta
         + std_u * _normals((tile_u, LANES)) * m_keep
         + touched_u * (gc_end - cnt_u) * m_gc  # stamp gcount lane to gc_end
     )
-    phi = (
-        phi
-        + std_v * _normals((tile_v, LANES)) * m_keep
-        + touched_v * (gc_end - cnt_v) * m_gc
-    )
 
-    # Geometric per-occurrence decay bases, with per-dimension precisions
-    # weighted by the row's inverse frequency (lambda vector: factors + bias
-    # lanes only, so bookkeeping lanes have base 1 and never decay).
-    inv_u = jnp.sum(theta * (lane == dim + 3).astype(jnp.float32), axis=1, keepdims=True)
-    inv_v = jnp.sum(phi * (lane == dim + 3).astype(jnp.float32), axis=1, keepdims=True)
+    # Per-dimension decay base for the (batch-constant) theta tile.
+    inv_u = jnp.sum(theta * m_inv, axis=1, keepdims=True)
     base_u = 1.0 - (eta * bound) * inv_u * lam_u
-    base_v = 1.0 - (eta * bound) * inv_v * lam_v
-    # Precompute log-magnitude and negativity once; per-sub-batch factors
-    # are |base|^k * (-1)^(k odd & base<0) — matches jnp.power for integer k
-    # and degrades like the sequential reference when base < 0 (oscillating
-    # divergence) instead of NaN-ing through log(negative).
     ln_u = jnp.log(jnp.maximum(jnp.abs(base_u), 1e-30))
-    ln_v = jnp.log(jnp.maximum(jnp.abs(base_v), 1e-30))
     neg_u = base_u < 0
-    neg_v = base_v < 0
 
-    def powk(ln_mag, neg, k):
-        sign = jnp.where(neg & (jnp.mod(k, 2.0) == 1.0), -1.0, 1.0)
-        return jnp.where(k == 0, 1.0, sign * jnp.exp(k * ln_mag))
-
-    # --- privacy-scaled gradient (reference: dpmf.h:72-88), applied as 8
-    # SEQUENTIAL sub-batches: each gathers from the state the previous one
-    # produced, bounding within-gather duplicate staleness to B/8 slots
-    # (the cell layout concentrates a user's ratings into few batches).
+    # --- per-sub-batch: slice this column's item tile, inject its lazy
+    # noise (gcount-lane stamping telescopes exactly even when columns share
+    # a tile), take the privacy-scaled gradient (dpmf.h:72-88), decay, and
+    # write the tile back. Sub-batches are SEQUENTIAL: each gathers from the
+    # state the previous one produced.
     for k in range(8):
+        off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
+        phi = phi_out[pl.ds(off, tile_v), :]
+
+        oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
+        oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
+        wk = w3[:, k : k + 1]
+        k_v = jnp.dot(
+            oht_v, wk.astype(mxu_dtype), preferred_element_type=jnp.float32
+        )
+        touched_v = (k_v > 0).astype(jnp.float32)
+        cnt_v = jnp.sum(phi * m_gc, axis=1, keepdims=True)
+        std_v = jnp.sqrt(
+            jnp.maximum(temp * eta * (gc_end - cnt_v), 0.0)
+        ) * touched_v
+        phi = (
+            phi
+            + std_v * _normals((tile_v, LANES)) * m_keep
+            + touched_v * (gc_end - cnt_v) * m_gc
+        )
+
         theta_mx = theta.astype(mxu_dtype)
         phi_mx = phi.astype(mxu_dtype)
         t = jnp.dot(oh_u[k], theta_mx, preferred_element_type=jnp.float32)
-        p = jnp.dot(oh_v[k], phi_mx, preferred_element_type=jnp.float32)
+        p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
         q = p * m_fac + m_bias
         pred = (
             jnp.sum(t * q, axis=1, keepdims=True)
             + jnp.sum(p * m_bias, axis=1, keepdims=True)
             + gb
         )
-        wk = w3[:, k : k + 1]
         err = (scal * wk) * (r3[:, k : k + 1] - pred)
         d_theta = jnp.dot(
             oht_u[k], (err * q).astype(mxu_dtype),
             preferred_element_type=jnp.float32,
         )
         d_phi = jnp.dot(
-            oht_v[k], (err * (t * m_fac + m_bias)).astype(mxu_dtype),
+            oht_v, (err * (t * m_fac + m_bias)).astype(mxu_dtype),
             preferred_element_type=jnp.float32,
         )
-        wk_mx = wk.astype(mxu_dtype)
-        k_u_k = jnp.dot(oht_u[k], wk_mx, preferred_element_type=jnp.float32)
-        k_v_k = jnp.dot(oht_v[k], wk_mx, preferred_element_type=jnp.float32)
+        k_u_k = jnp.dot(
+            oht_u[k], wk.astype(mxu_dtype), preferred_element_type=jnp.float32
+        )
         theta = theta * powk(ln_u, neg_u, k_u_k) + d_theta * m_keep
-        phi = phi * powk(ln_v, neg_v, k_v_k) + d_phi * m_keep
+
+        inv_v = jnp.sum(phi * m_inv, axis=1, keepdims=True)
+        base_v = 1.0 - (eta * bound) * inv_v * lam_v
+        ln_v = jnp.log(jnp.maximum(jnp.abs(base_v), 1e-30))
+        phi_out[pl.ds(off, tile_v), :] = (
+            phi * powk(ln_v, base_v < 0, k_v) + d_phi * m_keep
+        )
 
     theta_out[:] = theta
-    phi_out[pl.ds(off, tile_v), :] = phi
 
 
 def pad_sgld(state: DPMFState, plan: CellPlan) -> Tuple[jax.Array, jax.Array]:
@@ -288,6 +291,7 @@ def _run_sgld_epoch(
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
 ):
     nb = u.shape[0]
+    gv = gv.reshape(-1)  # (nb*8,) per-column item-tile indices
     kernel = functools.partial(
         _sgld_kernel,
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,

@@ -40,8 +40,8 @@ class ShardedPlan(NamedTuple):
     (the item shard held then is (p + s) mod P).
     """
 
-    gu: np.ndarray
-    gv: np.ndarray
+    gu: np.ndarray   # (P, P, NB)
+    gv: np.ndarray   # (P, P, NB, 8) per-column item-tile indices
     u: np.ndarray
     v: np.ndarray
     ut: np.ndarray
@@ -92,7 +92,7 @@ def partition_pallas(
     n_gv = chunk_v // tile_v
     shape4 = (n_dev, n_dev, nb_max)
     GU = np.zeros(shape4, np.int32)
-    GV = np.zeros(shape4, np.int32)
+    GV = np.zeros(shape4 + (8,), np.int32)
     U = np.full(shape4 + (sub, 8), tile_u, np.int32)
     V = np.full(shape4 + (sub, 8), tile_v, np.int32)
     R = np.zeros(shape4 + (sub, 8), np.float32)
