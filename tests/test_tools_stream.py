@@ -92,7 +92,9 @@ def test_streaming_epoch_matches_batched_kernel(tmp_path):
     write_block_frames(path, ds, users_per_block=5)
     params = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 4, gb=3.0)
 
-    streamed, n = streaming_sgd_epoch(params, path, 0.05, 0.01, batch_size=128)
+    # streaming_sgd_epoch donates its input state; keep a copy for the replay
+    donated = jax.tree.map(jnp.copy, params)
+    streamed, n = streaming_sgd_epoch(donated, path, 0.05, 0.01, batch_size=128)
     assert n == len(ds)
 
     ref = params

@@ -36,6 +36,17 @@ class RatingsCOO:
         self.u = np.asarray(self.u, dtype=np.int32)
         self.v = np.asarray(self.v, dtype=np.int32)
         self.r = np.asarray(self.r, dtype=np.float32)
+        # Out-of-range ids would silently clamp/drop inside JAX gathers and
+        # scatters (corrupting training and eval); fail loudly instead.
+        if len(self.u):
+            if int(self.u.min()) < 0 or int(self.u.max()) >= self.nu:
+                raise ValueError(
+                    f"user ids in [{self.u.min()}, {self.u.max()}] exceed nu={self.nu}"
+                )
+            if int(self.v.min()) < 0 or int(self.v.max()) >= self.nv:
+                raise ValueError(
+                    f"item ids in [{self.v.min()}, {self.v.max()}] exceed nv={self.nv}"
+                )
 
     def __len__(self) -> int:
         return int(self.u.shape[0])

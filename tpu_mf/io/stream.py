@@ -105,14 +105,16 @@ def streaming_sgd_epoch(params, path: str, eta, lam, batch_size: int = 8192, fly
     update, with ``fly`` batches in flight (reference: run(MF&),
     src/main.cc:36-52).
     """
+    import jax
     import jax.numpy as jnp
 
     from tpu_mf.ops.sgd import sgd_batch_update
 
+    step = jax.jit(sgd_batch_update, donate_argnums=(0,))
     eta = jnp.float32(eta)
     lam = jnp.float32(lam)
     n = 0
     for batch in Prefetcher(stream_batches(path, batch_size), fly=fly):
-        params = sgd_batch_update(params, batch, eta, lam)
-        n += int(batch[3].sum())  # real ratings
+        n += int(batch[3].sum())  # real ratings (count before donation)
+        params = step(params, batch, eta, lam)
     return params, n

@@ -65,25 +65,27 @@ def adreg_batch_update(
     theta, phi, bu, bv, gb = state.params
     eta, eta_reg, loss = hyper.eta, hyper.eta_reg, hyper.loss
 
-    # --- 1. snapshot touched rows into the shadow tables (admf.h:67-68) ---
+    # --- 1. snapshot touched rows into the shadow tables (admf.h:67-68);
+    # padded slots are redirected out of bounds so their scatter drops
+    # instead of overwriting row 0's snapshot ---
+    nu_rows = theta.shape[0]
+    nv_rows = phi.shape[0]
+    u_pad = pad_to_oob(u, w, nu_rows)
+    v_pad = pad_to_oob(v, w, nv_rows)
     t = theta[u].astype(jnp.float32)
     p = phi[v].astype(jnp.float32)
     bu_g = bu[u].astype(jnp.float32)
     bv_g = bv[v].astype(jnp.float32)
-    theta_old = state.theta_old.at[u].set(t.astype(theta.dtype))
-    phi_old = state.phi_old.at[v].set(p.astype(phi.dtype))
-    bu_old = state.bu_old.at[u].set(bu_g.astype(bu.dtype))
-    bv_old = state.bv_old.at[v].set(bv_g.astype(bv.dtype))
+    theta_old = state.theta_old.at[u_pad].set(t.astype(theta.dtype))
+    phi_old = state.phi_old.at[v_pad].set(p.astype(phi.dtype))
+    bu_old = state.bu_old.at[u_pad].set(bu_g.astype(bu.dtype))
+    bv_old = state.bv_old.at[v_pad].set(bv_g.astype(bv.dtype))
 
     # --- 2. SGD step with the four learned regularizers (admf.h:69-80);
     # decay via the geometric per-occurrence contraction (ops/common.py) ---
     score = jnp.sum(t * p, axis=-1) + bu_g + bv_g + gb.astype(jnp.float32)
     err = (eta * w) * (r - _activate(score, loss))
 
-    nu_rows = theta.shape[0]
-    nv_rows = phi.shape[0]
-    u_pad = pad_to_oob(u, w, nu_rows)
-    v_pad = pad_to_oob(v, w, nv_rows)
     fu, ku_cnt = occurrence_stats(u_pad, nu_rows)
     fv, kv_cnt = occurrence_stats(v_pad, nv_rows)
     fac_t = decay_factors(jnp.full_like(err, 1.0 - eta * state.lam_u), fu, ku_cnt)

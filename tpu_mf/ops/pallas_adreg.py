@@ -257,6 +257,7 @@ class PallasAdRegRunner:
         loss: int = 0,
         n_reg_samples: int = 64,
     ):
+        batch = cdiv(batch, 8) * 8
         plan = prepare_cells(train_ds, tile_u, tile_v, batch, seed)
         # Pad the batch list to a multiple of `segments` with no-op batches
         # (w=0, sentinel ids, tile 0).
@@ -270,7 +271,10 @@ class PallasAdRegRunner:
             extra = np.full((pad,) + x.shape[1:], fill, x.dtype)
             return np.concatenate([x, extra])
 
-        self.gu = padb(plan.gu, 0)
+        # Pad batches keep the last real gu: a gu change would reload the
+        # theta tile from the aliased HBM buffer, which does not see the
+        # store made earlier in the same pallas_call (stale clobber).
+        self.gu = padb(plan.gu, plan.gu[-1] if nb else 0)
         self.gv = padb(plan.gv, 0)
         u = padb(plan.u, tile_u)
         v = padb(plan.v, tile_v)
@@ -357,12 +361,14 @@ class PallasAdRegRunner:
 
     def state(self, tables, template: AdaptRegState) -> AdaptRegState:
         params = self.trim(tables)
+        # Distinct buffers: downstream XLA epochs donate the state, and
+        # aliased theta/theta_old leaves would be donated twice.
         return template._replace(
             params=params,
-            theta_old=params.theta,
-            phi_old=params.phi,
-            bu_old=params.bu,
-            bv_old=params.bv,
+            theta_old=jnp.copy(params.theta),
+            phi_old=jnp.copy(params.phi),
+            bu_old=jnp.copy(params.bu),
+            bv_old=jnp.copy(params.bv),
             lam_u=self.lams[0], lam_v=self.lams[1],
             lam_bu=self.lams[2], lam_bv=self.lams[3],
         )

@@ -359,6 +359,7 @@ class PallasEpochRunner:
         mxu: str = "bfloat16",
         interpret: bool = False,
     ):
+        batch = cdiv(batch, 8) * 8
         self.plan = prepare_cells(ds, tile_u, tile_v, batch, seed)
         self.nu, self.nv = ds.nu, ds.nv
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch

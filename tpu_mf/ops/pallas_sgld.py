@@ -353,7 +353,9 @@ class PallasSgldRunner:
         mxu: str = "bfloat16",
         interpret: bool = False,
     ):
+        batch = cdiv(batch, 8) * 8
         self.plan = prepare_cells(train_ds, tile_u, tile_v, batch, seed)
+        self.nb = self.plan.u.shape[0]
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu = mxu
         self.interpret = interpret

@@ -100,6 +100,10 @@ def partition_pallas(
     for (p, s), plan in plans.items():
         nb = plan.u.shape[0]
         GU[p, s, :nb] = plan.gu
+        # Pad batches MUST keep the last real gu: a gu change would reload
+        # the theta tile from the aliased HBM buffer, which does not see the
+        # store made earlier in the same pallas_call (stale clobber).
+        GU[p, s, nb:] = plan.gu[-1]
         GV[p, s, :nb] = plan.gv
         U[p, s, :nb] = plan.u
         V[p, s, :nb] = plan.v

@@ -59,19 +59,7 @@ def train_mf(
             return _train_mf_pallas(cfg, train_ds, test_ds, params, log)
 
     # Static batch layout; per-epoch shuffle permutes within it on device.
-    u, v, r, w = train_ds.to_batches(cfg.batch_size)
-    nb, bsz = u.shape
-    flat = (
-        jnp.asarray(u.reshape(-1)),
-        jnp.asarray(v.reshape(-1)),
-        jnp.asarray(r.reshape(-1)),
-        jnp.asarray(w.reshape(-1)),
-    )
-
-    @jax.jit
-    def shuffle(key, fu, fv, fr, fw):
-        p = jax.random.permutation(key, fu.shape[0])
-        return tuple(x[p].reshape(nb, bsz) for x in (fu, fv, fr, fw))
+    flat, shuffle = _static_batches(train_ds, cfg.batch_size)
 
     t0 = time.perf_counter()
     for it in range(1, cfg.iters + 1):
@@ -153,38 +141,30 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log) -> MFParams:
                 log(f"iter#{it}\t{elapsed:f}")
         return runner.trim(tables)
 
-    from tpu_mf.data.blocker import partition_diagonal
-    from tpu_mf.parallel.dsgd import (
-        dsgd_epoch,
-        gather_params,
-        init_sharded_mf,
-        put_blocks,
-    )
+    from tpu_mf.data.blocker import cdiv, partition_diagonal
+    from tpu_mf.parallel.dsgd import ShardedMF, dsgd_epoch, gather_params, put_blocks
+    from tpu_mf.parallel.mesh import row_sharding
 
     blocks = put_blocks(
         mesh, partition_diagonal(train_ds, cfg.mesh, cfg.batch_size, cfg.seed)
     )
-    state = init_sharded_mf(
-        jax.random.PRNGKey(cfg.seed), mesh, train_ds.nu, train_ds.nv,
-        cfg.dim, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype),
+    # Shard the (already initialized / warm-started) params directly.
+    shard = row_sharding(mesh)
+    pu = cdiv(train_ds.nu, cfg.mesh) * cfg.mesh
+    pv = cdiv(train_ds.nv, cfg.mesh) * cfg.mesh
+    state = ShardedMF(
+        theta=jax.device_put(
+            jnp.pad(params.theta, ((0, pu - train_ds.nu), (0, 0))), shard
+        ),
+        phi=jax.device_put(
+            jnp.pad(params.phi, ((0, pv - train_ds.nv), (0, 0))), shard
+        ),
+        bu=jax.device_put(jnp.pad(params.bu, (0, pu - train_ds.nu)), shard),
+        bv=jax.device_put(jnp.pad(params.bv, (0, pv - train_ds.nv)), shard),
+        gb=jnp.asarray(cfg.gb, jnp.dtype(cfg.dtype)),
+        nu=train_ds.nu,
+        nv=train_ds.nv,
     )
-    # Warm-start params override the fresh init when provided.
-    if params is not None:
-        from tpu_mf.parallel.mesh import row_sharding
-
-        shard = row_sharding(mesh)
-        pu = state.theta.shape[0]
-        pv = state.phi.shape[0]
-        state = state._replace(
-            theta=jax.device_put(
-                jnp.pad(params.theta, ((0, pu - train_ds.nu), (0, 0))), shard
-            ),
-            phi=jax.device_put(
-                jnp.pad(params.phi, ((0, pv - train_ds.nv), (0, 0))), shard
-            ),
-            bu=jax.device_put(jnp.pad(params.bu, (0, pu - train_ds.nu)), shard),
-            bv=jax.device_put(jnp.pad(params.bv, (0, pv - train_ds.nv)), shard),
-        )
     for it in range(1, cfg.iters + 1):
         state = dsgd_epoch(mesh, state, blocks, cfg.eta_at(it), cfg.lam)
         jax.block_until_ready(state.theta)
@@ -267,7 +247,9 @@ def train_dpmf(
                 tables,
                 int(state.gcount),
                 (eta_r, cfg.temp, bound, scal, float(state.params.gb)),
-                noise_seed=cfg.seed * 1_000_003 + rnd,
+                # Rounds must be spaced by nb in seed space: the kernel
+                # seeds prng with (noise_seed + batch_index).
+                noise_seed=cfg.seed * 1_000_003 + rnd * (sgld_runner.nb + 1),
             )
             state = sgld_runner.unpack(state, tables)
         else:
