@@ -315,6 +315,33 @@ def train_admf(
             key, nu, nv, cfg.dim, lam=cfg.lam, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype)
         )
 
+    if cfg.mesh > 1:
+        from tpu_mf.parallel.adreg_sharded import ShardedAdRegRunner
+        from tpu_mf.parallel.mesh import make_mesh
+
+        mesh = make_mesh(cfg.mesh)
+        runner = ShardedAdRegRunner(
+            train_ds, valid_ds, mesh, tile_u=512, tile_v=512,
+            batch=max(4096, cfg.batch_size), seed=cfg.seed, loss=cfg.loss,
+            interpret=jax.default_backend() == "cpu",
+            mxu="float32" if jax.default_backend() == "cpu" else "bfloat16",
+        )
+        tables = runner.pad(state)
+        t0 = time.perf_counter()
+        for it in range(1, cfg.iters + 1):
+            tables = runner.epoch(
+                tables, cfg.eta_at(it), cfg.eta_reg_at(it),
+                jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0xADF1), it),
+            )
+            jax.block_until_ready(tables[0])
+            elapsed = time.perf_counter() - t0
+            if test_ds is not None:
+                t_rmse = rmse(runner.trim(tables), test_ds)
+                log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
+            else:
+                log(f"iter#{it}\t{elapsed:f}")
+        return runner.state(tables, state)
+
     if cfg.use_pallas and jax.default_backend() != "cpu":
         from tpu_mf.ops.pallas_adreg import PallasAdRegRunner, adreg_pallas_eligible
 
