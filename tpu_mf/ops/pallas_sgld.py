@@ -356,6 +356,8 @@ class PallasSgldRunner:
         batch = cdiv(batch, 8) * 8
         self.plan = prepare_cells(train_ds, tile_u, tile_v, batch, seed)
         self.nb = self.plan.u.shape[0]
+        # distinct prng seeds per round must be spaced by at least this
+        self.seed_stride = self.nb + 1
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu = mxu
         self.interpret = interpret

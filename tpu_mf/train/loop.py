@@ -224,7 +224,21 @@ def train_dpmf(
     bound = dp_bound(cfg.epsilon, cfg.tau, train_ds.nv)
 
     sgld_runner = None
-    if cfg.use_pallas and jax.default_backend() != "cpu":
+    if cfg.mesh > 1:
+        from tpu_mf.parallel.mesh import make_mesh
+        from tpu_mf.parallel.sgld_sharded import ShardedSgldRunner
+
+        on_cpu = jax.default_backend() == "cpu"
+        # CPU meshes run the kernel interpreted (functional validation):
+        # keep tiles small there or the interpreter crawls.
+        tile = 64 if on_cpu else 512
+        sgld_runner = ShardedSgldRunner(
+            train_ds, make_mesh(cfg.mesh), tile_u=tile, tile_v=tile,
+            batch=min(cfg.batch_size, 512) if on_cpu else max(4096, cfg.batch_size),
+            seed=cfg.seed,
+            interpret=on_cpu, mxu="float32" if on_cpu else "bfloat16",
+        )
+    elif cfg.use_pallas and jax.default_backend() != "cpu":
         from tpu_mf.ops.pallas_sgld import PallasSgldRunner, sgld_pallas_eligible
 
         if sgld_pallas_eligible(state, ntrain):
@@ -247,9 +261,9 @@ def train_dpmf(
                 tables,
                 int(state.gcount),
                 (eta_r, cfg.temp, bound, scal, float(state.params.gb)),
-                # Rounds must be spaced by nb in seed space: the kernel
-                # seeds prng with (noise_seed + batch_index).
-                noise_seed=cfg.seed * 1_000_003 + rnd * (sgld_runner.nb + 1),
+                # Rounds must not collide in seed space: the kernel seeds
+                # prng with (noise_seed + batch_index) per device/substep.
+                noise_seed=cfg.seed * 1_000_003 + rnd * sgld_runner.seed_stride,
             )
             state = sgld_runner.unpack(state, tables)
         else:
@@ -320,11 +334,13 @@ def train_admf(
         from tpu_mf.parallel.mesh import make_mesh
 
         mesh = make_mesh(cfg.mesh)
+        on_cpu = jax.default_backend() == "cpu"
+        tile = 64 if on_cpu else 512  # interpreter crawls on big tiles
         runner = ShardedAdRegRunner(
-            train_ds, valid_ds, mesh, tile_u=512, tile_v=512,
-            batch=max(4096, cfg.batch_size), seed=cfg.seed, loss=cfg.loss,
-            interpret=jax.default_backend() == "cpu",
-            mxu="float32" if jax.default_backend() == "cpu" else "bfloat16",
+            train_ds, valid_ds, mesh, tile_u=tile, tile_v=tile,
+            batch=min(cfg.batch_size, 512) if on_cpu else max(4096, cfg.batch_size),
+            seed=cfg.seed, loss=cfg.loss,
+            interpret=on_cpu, mxu="float32" if on_cpu else "bfloat16",
         )
         tables = runner.pad(state)
         t0 = time.perf_counter()
