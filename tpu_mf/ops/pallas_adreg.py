@@ -190,6 +190,11 @@ def _run_adreg_segment(
             jax.ShapeDtypeStruct((n_gv * tile_v, lanes), jnp.float32),
         ],
         # operands incl. 3 scalar-prefetch args: theta=9, phi=11 -> outs 0,1
+        # v5e has 128 MB of VMEM; the compiler's default 16 MB scoped limit
+        # is too tight for the resident item table + unrolled temporaries.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         input_output_aliases={9: 0, 11: 1},
         interpret=interpret,
     )(gu, gv, hyper, u, v, ut, vt, r, w, theta_ext, lamvec, phi_ext)
@@ -380,4 +385,4 @@ def adreg_pallas_eligible(state: AdaptRegState, batch_size: int) -> bool:
     dim = state.params.theta.shape[1]
     nv = state.params.phi.shape[0]
     vmem_phi = cdiv(nv, 512) * 512 * row_lanes(min(dim, MAX_DIM)) * 4
-    return dim <= MAX_DIM and vmem_phi <= 12 * 1024 * 1024
+    return dim <= MAX_DIM and vmem_phi <= 64 * 1024 * 1024

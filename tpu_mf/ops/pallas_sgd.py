@@ -340,6 +340,11 @@ def _run_epoch(
         ],
         # operand indices include the 3 scalar-prefetch args: theta=9,
         # phi=10 -> outputs 0, 1.
+        # v5e has 128 MB of VMEM; the compiler's default 16 MB scoped limit
+        # is too tight for the resident item table + unrolled temporaries.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         input_output_aliases={9: 0, 10: 1},
         interpret=interpret,
     )(gu, gv, hyper, u, v, ut, vt, r, w, theta_ext, phi_ext)
@@ -408,7 +413,7 @@ def pallas_eligible(params: MFParams, batch_size: int) -> bool:
     dim = params.theta.shape[1]
     nv = params.phi.shape[0]
     vmem_phi = cdiv(nv, 512) * 512 * row_lanes(dim) * 4
-    return dim <= MAX_DIM and vmem_phi <= 12 * 1024 * 1024
+    return dim <= MAX_DIM and vmem_phi <= 64 * 1024 * 1024
 
 
 def pallas_sgd_epoch(*args, **kwargs):  # pragma: no cover - see pick_epoch_fn

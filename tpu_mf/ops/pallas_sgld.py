@@ -138,15 +138,14 @@ def _sgld_kernel(
         sign = jnp.where(neg & (jnp.mod(k, 2.0) == 1.0), -1.0, 1.0)
         return jnp.where(k == 0, 1.0, sign * jnp.exp(k * ln_mag))
 
-    # --- u-side one-hots + total touch counts (for batch-granular noise) ---
-    oh_u = []
-    oht_u = []
+    # --- u-side total touch counts (for batch-granular noise). One-hots are
+    # rebuilt on the fly in the gradient loop rather than stored: 8 stored
+    # (TILE, B/8) pairs would cost ~8 MB of VMEM at the default tiles. ---
     k_u = jnp.zeros((tile_u, 1), jnp.float32)
     for k in range(8):
-        oh_u.append((iota_u == u3[:, k : k + 1]).astype(mxu_dtype))
-        oht_u.append((iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype))
+        oht_u_k = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
         wk = w3[:, k : k + 1].astype(mxu_dtype)
-        k_u += jnp.dot(oht_u[k], wk, preferred_element_type=jnp.float32)
+        k_u += jnp.dot(oht_u_k, wk, preferred_element_type=jnp.float32)
 
     # --- lazy Langevin noise, u side (reference: dpmf.h:61-70) ---
     gc_end = cum_ref[i].astype(jnp.float32)  # real ratings through this batch
@@ -174,6 +173,8 @@ def _sgld_kernel(
         off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
         phi = phi_out[pl.ds(off, tile_v), :]
 
+        oh_u_k = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
+        oht_u_k = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
         oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
         oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
         wk = w3[:, k : k + 1]
@@ -193,7 +194,7 @@ def _sgld_kernel(
 
         theta_mx = theta.astype(mxu_dtype)
         phi_mx = phi.astype(mxu_dtype)
-        t = jnp.dot(oh_u[k], theta_mx, preferred_element_type=jnp.float32)
+        t = jnp.dot(oh_u_k, theta_mx, preferred_element_type=jnp.float32)
         p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
         q = p * m_fac + m_bias
         pred = (
@@ -203,7 +204,7 @@ def _sgld_kernel(
         )
         err = (scal * wk) * (r3[:, k : k + 1] - pred)
         d_theta = jnp.dot(
-            oht_u[k], (err * q).astype(mxu_dtype),
+            oht_u_k, (err * q).astype(mxu_dtype),
             preferred_element_type=jnp.float32,
         )
         d_phi = jnp.dot(
@@ -211,7 +212,7 @@ def _sgld_kernel(
             preferred_element_type=jnp.float32,
         )
         k_u_k = jnp.dot(
-            oht_u[k], wk.astype(mxu_dtype), preferred_element_type=jnp.float32
+            oht_u_k, wk.astype(mxu_dtype), preferred_element_type=jnp.float32
         )
         theta = theta * powk(ln_u, neg_u, k_u_k) + d_theta * m_keep
 
@@ -332,6 +333,11 @@ def _run_sgld_epoch(
             jax.ShapeDtypeStruct((n_gv * tile_v, LANES), jnp.float32),
         ],
         # operands incl. 5 scalar-prefetch args: theta=11, phi=13 -> outs 0,1
+        # v5e has 128 MB of VMEM; the compiler's default 16 MB scoped limit
+        # is too tight for the resident item table + unrolled temporaries.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         input_output_aliases={11: 0, 13: 1},
         # The Mosaic TPU interpreter emulates pltpu.prng_* on CPU; the plain
         # HLO interpreter does not.
@@ -418,6 +424,6 @@ def sgld_pallas_eligible(state: DPMFState, ntrain: int) -> bool:
     vmem_phi = cdiv(nv, 256) * 256 * LANES * 4
     return (
         dim <= MAX_DIM_SGLD
-        and vmem_phi <= 12 * 1024 * 1024
+        and vmem_phi <= 64 * 1024 * 1024
         and ntrain < MAX_EXACT_COUNT
     )

@@ -94,7 +94,7 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log) -> MFParams:
 
     runner = PallasEpochRunner(
         train_ds, tile_u=512, tile_v=512,
-        batch=max(4096, cfg.batch_size), seed=cfg.seed,
+        batch=max(1024, cfg.batch_size), seed=cfg.seed,
     )
     tables = runner.pad(params)
     gb = float(params.gb)
@@ -127,7 +127,7 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log) -> MFParams:
 
         runner = ShardedPallasRunner(
             train_ds, mesh, tile_u=512, tile_v=512,
-            batch=max(4096, cfg.batch_size), seed=cfg.seed,
+            batch=max(1024, cfg.batch_size), seed=cfg.seed,
         )
         tables = runner.pad(params)
         for it in range(1, cfg.iters + 1):
@@ -234,7 +234,7 @@ def train_dpmf(
         tile = 64 if on_cpu else 512
         sgld_runner = ShardedSgldRunner(
             train_ds, make_mesh(cfg.mesh), tile_u=tile, tile_v=tile,
-            batch=min(cfg.batch_size, 512) if on_cpu else max(4096, cfg.batch_size),
+            batch=min(cfg.batch_size, 512) if on_cpu else max(1024, cfg.batch_size),
             seed=cfg.seed,
             interpret=on_cpu, mxu="float32" if on_cpu else "bfloat16",
         )
@@ -244,7 +244,7 @@ def train_dpmf(
         if sgld_pallas_eligible(state, ntrain):
             sgld_runner = PallasSgldRunner(
                 train_ds, tile_u=512, tile_v=512,
-                batch=max(4096, cfg.batch_size), seed=cfg.seed,
+                batch=max(1024, cfg.batch_size), seed=cfg.seed,
             )
 
     flat, shuffle = _static_batches(train_ds, cfg.batch_size)
@@ -338,7 +338,7 @@ def train_admf(
         tile = 64 if on_cpu else 512  # interpreter crawls on big tiles
         runner = ShardedAdRegRunner(
             train_ds, valid_ds, mesh, tile_u=tile, tile_v=tile,
-            batch=min(cfg.batch_size, 512) if on_cpu else max(4096, cfg.batch_size),
+            batch=min(cfg.batch_size, 512) if on_cpu else max(1024, cfg.batch_size),
             seed=cfg.seed, loss=cfg.loss,
             interpret=on_cpu, mxu="float32" if on_cpu else "bfloat16",
         )
@@ -364,7 +364,7 @@ def train_admf(
         if adreg_pallas_eligible(state, cfg.batch_size):
             runner = PallasAdRegRunner(
                 train_ds, valid_ds, tile_u=512, tile_v=512,
-                batch=max(4096, cfg.batch_size), seed=cfg.seed, loss=cfg.loss,
+                batch=max(1024, cfg.batch_size), seed=cfg.seed, loss=cfg.loss,
             )
             tables = runner.pad(state)
             t0 = time.perf_counter()
