@@ -45,3 +45,16 @@ def test_resume_roundtrip(tmp_path):
     import glob
 
     assert len(glob.glob(prefix + ".r*.npz")) == 3
+
+
+def test_orbax_roundtrip(tmp_path):
+    pytest.importorskip("orbax.checkpoint")
+    from tpu_mf.io.checkpoint import load_orbax, save_orbax
+
+    params = init_mf(jax.random.PRNGKey(3), 12, 9, 4, gb=2.5)
+    path = str(tmp_path / "orbax_ckpt")
+    save_orbax(path, params, round=np.asarray(4, np.int32))
+    back, extras = load_orbax(path)
+    np.testing.assert_allclose(np.asarray(back.theta), np.asarray(params.theta))
+    np.testing.assert_allclose(np.asarray(back.bv), np.asarray(params.bv))
+    assert int(extras["round"]) == 4

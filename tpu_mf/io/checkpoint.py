@@ -165,3 +165,44 @@ def load_npz(path: str):
             k: z[k] for k in z.files if k not in ("theta", "phi", "bu", "bv", "gb")
         }
     return params, extras
+
+
+def save_orbax(path: str, params: MFParams, **extra) -> None:
+    """Orbax checkpoint of the full state (directory-based, async-capable).
+
+    The production-grade alternative to npz for large sharded tables
+    (SURVEY §5 checkpoint row). Requires orbax-checkpoint (baked into the
+    environment); extras must be array-like.
+    """
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = {
+        "theta": params.theta,
+        "phi": params.phi,
+        "bu": params.bu,
+        "bv": params.bv,
+        "gb": params.gb,
+        **extra,
+    }
+    ckptr.save(os.path.abspath(path), state, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_orbax(path: str):
+    """Load an Orbax checkpoint. Returns (params, dict-of-extras)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    state = ckptr.restore(os.path.abspath(path))
+    params = MFParams(
+        theta=jnp.asarray(state["theta"]),
+        phi=jnp.asarray(state["phi"]),
+        bu=jnp.asarray(state["bu"]),
+        bv=jnp.asarray(state["bv"]),
+        gb=jnp.asarray(state["gb"], jnp.float32),
+    )
+    extras = {k: v for k, v in state.items()
+              if k not in ("theta", "phi", "bu", "bv", "gb")}
+    return params, extras
