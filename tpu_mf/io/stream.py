@@ -73,18 +73,45 @@ class Prefetcher:
         self._q: "queue.Queue" = queue.Queue(maxsize=max(1, fly))
         self._device = device or jax.devices()[0]
         self._err: Optional[BaseException] = None
+        self._closed = threading.Event()
 
         def worker():
             try:
                 for item in source:
-                    self._q.put(jax.device_put(item, self._device))
+                    staged = jax.device_put(item, self._device)
+                    # bounded put so an abandoned consumer doesn't pin `fly`
+                    # device batches forever (see close())
+                    while not self._closed.is_set():
+                        try:
+                            self._q.put(staged, timeout=0.2)
+                            break
+                        except queue.Full:
+                            continue
+                    if self._closed.is_set():
+                        return
             except BaseException as e:  # surfaced on the consumer side
                 self._err = e
             finally:
-                self._q.put(self._DONE)
+                # the sentinel must not be dropped on a full queue, or the
+                # consumer blocks forever; bounded-put like the items
+                while not self._closed.is_set():
+                    try:
+                        self._q.put(self._DONE, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
         self._thread = threading.Thread(target=worker, daemon=True)
         self._thread.start()
+
+    def close(self) -> None:
+        """Release the worker and its staged batches (idempotent)."""
+        self._closed.set()
+        while True:
+            try:
+                self._q.get_nowait()
+            except queue.Empty:
+                break
 
     def __iter__(self):
         return self
@@ -113,8 +140,19 @@ def streaming_sgd_epoch(params, path: str, eta, lam, batch_size: int = 8192, fly
     step = jax.jit(sgd_batch_update, donate_argnums=(0,))
     eta = jnp.float32(eta)
     lam = jnp.float32(lam)
-    n = 0
-    for batch in Prefetcher(stream_batches(path, batch_size), fly=fly):
-        n += int(batch[3].sum())  # real ratings (count before donation)
-        params = step(params, batch, eta, lam)
-    return params, n
+    # Count real ratings host-side as batches flow through the parser, so
+    # the device loop never synchronizes per batch.
+    counts = {"n": 0}
+
+    def counted(src):
+        for b in src:
+            counts["n"] += int(b[3].sum())
+            yield b
+
+    pf = Prefetcher(counted(stream_batches(path, batch_size)), fly=fly)
+    try:
+        for batch in pf:
+            params = step(params, batch, eta, lam)
+    finally:
+        pf.close()
+    return params, counts["n"]

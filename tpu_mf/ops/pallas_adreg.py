@@ -96,9 +96,19 @@ def _adreg_kernel(
     iota_vt = jax.lax.broadcasted_iota(jnp.int32, (tile_v, sub), 0)
 
     # Per-lane geometric decay bases from the learned lambdas; bookkeeping
-    # lanes have lamvec 0 -> base 1 -> never decay.
-    ln_u = jnp.log(jnp.maximum(1.0 - eta * lam_u, 1e-30))  # (1, lanes)
-    ln_v = jnp.log(jnp.maximum(1.0 - eta * lam_v, 1e-30))
+    # lanes have lamvec 0 -> base 1 -> never decay. Sign-aware power so a
+    # learned lambda with eta*lam > 1 oscillates/diverges like the XLA path
+    # and the sequential reference instead of silently zeroing rows.
+    base_u = 1.0 - eta * lam_u  # (1, lanes)
+    base_v = 1.0 - eta * lam_v
+    ln_u = jnp.log(jnp.maximum(jnp.abs(base_u), 1e-30))
+    ln_v = jnp.log(jnp.maximum(jnp.abs(base_v), 1e-30))
+    neg_u = base_u < 0
+    neg_v = base_v < 0
+
+    def powk(ln_mag, neg, k):
+        sign = jnp.where(neg & (jnp.mod(k, 2.0) == 1.0), -1.0, 1.0)
+        return jnp.where(k == 0, 1.0, sign * jnp.exp(k * ln_mag))
 
     for k in range(8):
         off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
@@ -133,8 +143,10 @@ def _adreg_kernel(
         wk_mx = wk.astype(mxu_dtype)
         k_u = jnp.dot(oht_u, wk_mx, preferred_element_type=jnp.float32)
         k_v = jnp.dot(oht_v, wk_mx, preferred_element_type=jnp.float32)
-        theta = theta * jnp.exp(k_u * ln_u) + d_theta * m_keep
-        phi_out[pl.ds(off, tile_v), :] = phi * jnp.exp(k_v * ln_v) + d_phi * m_keep
+        theta = theta * powk(ln_u, neg_u, k_u) + d_theta * m_keep
+        phi_out[pl.ds(off, tile_v), :] = (
+            phi * powk(ln_v, neg_v, k_v) + d_phi * m_keep
+        )
 
     theta_out[:] = theta
 
@@ -201,44 +213,38 @@ def _run_adreg_segment(
     return theta_ext, phi_ext
 
 
-@functools.partial(jax.jit, static_argnames=("loss", "n_samples"))
-def hypergrad_lambdas(
-    params_new: MFParams,
-    theta_old, phi_old, bu_old, bv_old,
-    lams: jax.Array,          # (4,) [lam_u, lam_v, lam_bu, lam_bv]
-    valid: Tuple[jax.Array, jax.Array, jax.Array],
-    key: jax.Array,
+@functools.partial(jax.jit, static_argnames=("dim", "loss"))
+def hypergrad_ext_rows(
+    new_t, new_p,            # (K, lanes) post-segment fused rows
+    old_t, old_p,            # (K, lanes) pre-segment fused rows
+    sr: jax.Array,           # (K,) validation ratings
+    lams: jax.Array,         # (4,) [lam_u, lam_v, lam_bu, lam_bv]
     eta: jax.Array,
     eta_reg: jax.Array,
-    n_visits: jax.Array,      # user-visits this segment processed
+    n_visits: jax.Array,     # user-visits this segment processed
+    gb: jax.Array,
+    dim: int,
     loss: int = 0,
-    n_samples: int = 64,
 ) -> jax.Array:
-    """Vectorized hypergradient step on the four lambdas (model.h:86-102)."""
-    uv, vv, rv = valid
-    ksel = jax.random.randint(key, (n_samples,), 0, uv.shape[0])
-    su, sv, sr = uv[ksel], vv[ksel], rv[ksel]
+    """Hypergradient step on the four lambdas from K sampled fused-layout
+    rows (model.h:86-102): factors in lanes [:dim], bias in lane dim.
 
-    t_new = params_new.theta[su].astype(jnp.float32)
-    p_new = params_new.phi[sv].astype(jnp.float32)
-    score = (
-        jnp.sum(t_new * p_new, axis=-1)
-        + params_new.bu[su].astype(jnp.float32)
-        + params_new.bv[sv].astype(jnp.float32)
-        + params_new.gb.astype(jnp.float32)
-    )
+    Shared by the single-chip segment runner and the sharded substep runner
+    (parallel/adreg_sharded.py)."""
+    tf, tb = new_t[:, :dim], new_t[:, dim]
+    pf, pb = new_p[:, :dim], new_p[:, dim]
+    score = jnp.sum(tf * pf, axis=1) + tb + pb + gb
     pred = jax.nn.sigmoid(score) if loss == 1 else score
     grad = sr - pred
-
-    inner_u = jnp.sum(theta_old[su].astype(jnp.float32) * p_new, axis=-1)
-    inner_v = jnp.sum(t_new * phi_old[sv].astype(jnp.float32), axis=-1)
-    scale = (eta_reg * eta) * n_visits / n_samples
+    inner_u = jnp.sum(old_t[:, :dim] * pf, axis=1)
+    inner_v = jnp.sum(tf * old_p[:, :dim], axis=1)
+    scale = (eta_reg * eta) * n_visits / sr.shape[0]
     steps = jnp.stack(
         [
             jnp.sum(grad * inner_u),
             jnp.sum(grad * inner_v),
-            jnp.sum(grad * bu_old[su].astype(jnp.float32)),
-            jnp.sum(grad * bv_old[sv].astype(jnp.float32)),
+            jnp.sum(grad * old_t[:, dim]),
+            jnp.sum(grad * old_p[:, dim]),
         ]
     )
     return jnp.maximum(0.0, lams - scale * steps)
@@ -336,8 +342,17 @@ class PallasAdRegRunner:
 
     def epoch(self, tables, eta: float, eta_reg: float, key: jax.Array):
         hyper = jnp.asarray([eta, self.gb], jnp.float32)
+        uv, vv, rv = self.valid
         for s in range(self.segments):
-            old = self.trim(tables)  # segment-start snapshot (cheap slices)
+            # sample the K validation rows BEFORE the segment and gather just
+            # those rows as the "old" snapshot (zero table copies)
+            ksel = jax.random.randint(
+                jax.random.fold_in(key, s), (self.n_reg_samples,), 0,
+                uv.shape[0],
+            )
+            su, sv, sr = uv[ksel], vv[ksel], rv[ksel]
+            old_t = tables[0][su]
+            old_p = tables[1][sv]
             tables = _run_adreg_segment(
                 tables[0], tables[1],
                 self.dev["gu"][s], self.dev["gv"][s],
@@ -349,13 +364,11 @@ class PallasAdRegRunner:
                 dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
                 mxu=self.mxu, interpret=self.interpret, loss=self.loss,
             )
-            new = self.trim(tables)
-            self.lams = hypergrad_lambdas(
-                new, old.theta, old.phi, old.bu, old.bv,
-                self.lams, self.valid, jax.random.fold_in(key, s),
+            self.lams = hypergrad_ext_rows(
+                tables[0][su], tables[1][sv], old_t, old_p, sr, self.lams,
                 jnp.float32(eta), jnp.float32(eta_reg),
                 jnp.float32(self.visits_per_seg[s]),
-                loss=self.loss, n_samples=self.n_reg_samples,
+                jnp.float32(self.gb), self.dim, self.loss,
             )
         return tables
 

@@ -30,7 +30,8 @@ from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.admf import AdaptRegState
 from tpu_mf.models.mf import MFParams
 from tpu_mf.ops import pallas_adreg
-from tpu_mf.ops.pallas_sgd import row_lanes
+from tpu_mf.ops.pallas_adreg import hypergrad_ext_rows
+from tpu_mf.ops.pallas_sgd import cdiv, row_lanes
 from tpu_mf.parallel.dsgd_pallas import (
     pad_sharded,
     partition_pallas,
@@ -97,15 +98,16 @@ class ShardedAdRegRunner:
         self.mesh = mesh
         self.n_dev = mesh.devices.size
         self.nu, self.nv = train_ds.nu, train_ds.nv
-        self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu, self.interpret, self.loss = mxu, interpret, loss
         self.n_reg_samples = n_reg_samples
+        batch = cdiv(batch, 8) * 8
+        self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.splan = partition_pallas(
             train_ds, self.n_dev, tile_u, tile_v, batch, seed
         )
         shard = row_sharding(mesh)
         self.dev = tuple(
-            jax.device_put(jnp.asarray(x), shard)
+            jax.device_put(x, shard)
             for x in (
                 self.splan.gu, self.splan.gv, self.splan.u, self.splan.v,
                 self.splan.ut, self.splan.vt, self.splan.r, self.splan.w,
@@ -178,7 +180,7 @@ class ShardedAdRegRunner:
 
             new_t = tables[0][su]
             new_p = tables[1][self._phi_pos(sv_, s + 1)]
-            self.lams = _hypergrad_ext(
+            self.lams = hypergrad_ext_rows(
                 new_t, new_p, old_t, old_p, sr, self.lams,
                 jnp.float32(eta), jnp.float32(eta_reg),
                 jnp.float32(self.visits_per_substep[s]),
@@ -202,31 +204,3 @@ class ShardedAdRegRunner:
             lam_u=self.lams[0], lam_v=self.lams[1],
             lam_bu=self.lams[2], lam_bv=self.lams[3],
         )
-
-
-from functools import partial
-
-
-@partial(jax.jit, static_argnames=("dim", "loss"))
-def _hypergrad_ext(
-    new_t, new_p, old_t, old_p, sr, lams, eta, eta_reg, n_visits, gb,
-    dim: int, loss: int,
-):
-    """Hypergradient on the fused-layout rows (factors + bias lane)."""
-    tf, tb = new_t[:, :dim], new_t[:, dim]
-    pf, pb = new_p[:, :dim], new_p[:, dim]
-    score = jnp.sum(tf * pf, axis=1) + tb + pb + gb
-    pred = jax.nn.sigmoid(score) if loss == 1 else score
-    grad = sr - pred
-    inner_u = jnp.sum(old_t[:, :dim] * pf, axis=1)
-    inner_v = jnp.sum(tf * old_p[:, :dim], axis=1)
-    scale = (eta_reg * eta) * n_visits / sr.shape[0]
-    steps = jnp.stack(
-        [
-            jnp.sum(grad * inner_u),
-            jnp.sum(grad * inner_v),
-            jnp.sum(grad * old_t[:, dim]),
-            jnp.sum(grad * old_p[:, dim]),
-        ]
-    )
-    return jnp.maximum(0.0, lams - scale * steps)

@@ -215,12 +215,13 @@ class ShardedPallasRunner:
         self.mesh = mesh
         self.n_dev = mesh.devices.size
         self.nu, self.nv = ds.nu, ds.nv
-        self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu, self.interpret = mxu, interpret
+        batch = cdiv(batch, 8) * 8
+        self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.splan = partition_pallas(ds, self.n_dev, tile_u, tile_v, batch, seed)
         shard = row_sharding(mesh)
         self.dev = tuple(
-            jax.device_put(jnp.asarray(x), shard)
+            jax.device_put(x, shard)
             for x in (
                 self.splan.gu, self.splan.gv, self.splan.u, self.splan.v,
                 self.splan.ut, self.splan.vt, self.splan.r, self.splan.w,

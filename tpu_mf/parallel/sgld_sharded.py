@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec
 from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.dpmf import DPMFState
 from tpu_mf.ops import pallas_sgld
-from tpu_mf.ops.pallas_sgld import LANES
+from tpu_mf.ops.pallas_sgld import LANES, cdiv
 from tpu_mf.parallel.dsgd_pallas import partition_pallas
 from tpu_mf.parallel.mesh import AXIS, row_sharding
 
@@ -86,14 +86,15 @@ class ShardedSgldRunner:
         self.mesh = mesh
         self.n_dev = mesh.devices.size
         self.nu, self.nv = train_ds.nu, train_ds.nv
-        self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu, self.interpret = mxu, interpret
+        batch = cdiv(batch, 8) * 8
+        self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.splan = partition_pallas(
             train_ds, self.n_dev, tile_u, tile_v, batch, seed
         )
         shard = row_sharding(mesh)
         self.dev = tuple(
-            jax.device_put(jnp.asarray(x), shard)
+            jax.device_put(x, shard)
             for x in (
                 self.splan.gu, self.splan.gv, self.splan.u, self.splan.v,
                 self.splan.ut, self.splan.vt, self.splan.r, self.splan.w,

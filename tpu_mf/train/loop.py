@@ -225,20 +225,30 @@ def train_dpmf(
 
     sgld_runner = None
     if cfg.mesh > 1:
+        from tpu_mf.ops.pallas_sgld import sgld_pallas_eligible
         from tpu_mf.parallel.mesh import make_mesh
         from tpu_mf.parallel.sgld_sharded import ShardedSgldRunner
 
-        on_cpu = jax.default_backend() == "cpu"
-        # CPU meshes run the kernel interpreted (functional validation):
-        # keep tiles small there or the interpreter crawls.
-        tile = 64 if on_cpu else 512
-        sgld_runner = ShardedSgldRunner(
-            train_ds, make_mesh(cfg.mesh), tile_u=tile, tile_v=tile,
-            batch=min(cfg.batch_size, 512) if on_cpu else max(1024, cfg.batch_size),
-            seed=cfg.seed,
-            interpret=on_cpu, mxu="float32" if on_cpu else "bfloat16",
-        )
-    elif cfg.use_pallas and jax.default_backend() != "cpu":
+        if not sgld_pallas_eligible(state, ntrain):
+            # dim > 124 or a round too large for the f32 gcount lane: the
+            # sharded kernel has no fallback yet — run the (single-chip)
+            # XLA path rather than silently corrupting noise accounting.
+            log(
+                "# --mesh dpmf requires dim <= 124 and ntrain < 2^24; "
+                "falling back to the single-chip XLA path"
+            )
+        else:
+            on_cpu = jax.default_backend() == "cpu"
+            # CPU meshes run the kernel interpreted (functional validation):
+            # keep tiles small there or the interpreter crawls.
+            tile = 64 if on_cpu else 512
+            sgld_runner = ShardedSgldRunner(
+                train_ds, make_mesh(cfg.mesh), tile_u=tile, tile_v=tile,
+                batch=min(cfg.batch_size, 512) if on_cpu else max(1024, cfg.batch_size),
+                seed=cfg.seed,
+                interpret=on_cpu, mxu="float32" if on_cpu else "bfloat16",
+            )
+    if sgld_runner is None and cfg.use_pallas and jax.default_backend() != "cpu":
         from tpu_mf.ops.pallas_sgld import PallasSgldRunner, sgld_pallas_eligible
 
         if sgld_pallas_eligible(state, ntrain):
