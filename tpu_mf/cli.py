@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices for diagonal-block DSGD (1 = single chip)")
     p.add_argument("--no-pallas", action="store_true",
                    help="disable fused Pallas kernels (pure-JAX fallback)")
+    p.add_argument("--stream", action="store_true",
+                   help="mf only: stream the training file from disk each "
+                        "epoch instead of staging it on device (out-of-core; "
+                        "reference: the TBB read pipeline, mf.h:6-70)")
     return p
 
 
@@ -116,7 +120,30 @@ def main(argv=None) -> int:
             # read_model does (model.cc:81 reads lambda_ into the model).
             params0, lam = load_mf_binary(cfg.model, gb=cfg.gb)
             cfg = dataclasses.replace(cfg, lam=lam)
-        params = train_mf(cfg, train_ds, test_ds=test_ds, params=params0)
+        if args.stream:
+            import time as _time
+
+            import jax
+            from tpu_mf.models.mf import init_mf, rmse as _rmse
+            from tpu_mf.io.stream import streaming_sgd_epoch
+
+            params = params0 or init_mf(
+                jax.random.PRNGKey(cfg.seed), train_ds.nu, train_ds.nv,
+                cfg.dim, gb=cfg.gb,
+            )
+            t0 = _time.perf_counter()
+            for it in range(1, cfg.iters + 1):
+                params, _n = streaming_sgd_epoch(
+                    params, cfg.train, cfg.eta_at(it), cfg.lam,
+                    batch_size=cfg.batch_size, fly=cfg.fly,
+                )
+                elapsed = _time.perf_counter() - t0
+                if test_ds is not None:
+                    print(f"iter#{it}\t{elapsed:f}\ttRMSE={_rmse(params, test_ds):f}")
+                else:
+                    print(f"iter#{it}\t{elapsed:f}")
+        else:
+            params = train_mf(cfg, train_ds, test_ds=test_ds, params=params0)
         if cfg.result:
             if cfg.result.endswith(".npz"):
                 save_npz(cfg.result, params, lam=np.float32(cfg.lam))
