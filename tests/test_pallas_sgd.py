@@ -56,7 +56,7 @@ def test_pallas_epoch_matches_jax_kernel_interpret():
 
     runner = PallasEpochRunner(
         ds, tile_u=128, tile_v=128, batch=256, seed=3,
-        mxu="float32", interpret=True,
+        mxu="float32", interpret=True, theta_groups=8,  # pin: replay is seq8
     )
     tables = runner.pad(params)
     tables = runner.epoch(tables, eta, lam, float(params.gb))
@@ -91,3 +91,25 @@ def test_pallas_multi_epoch_converges_interpret():
     out = runner.trim(tables)
     final = rmse(out, test)
     assert final < 0.6, f"fused kernel training failed to converge: {final}"
+
+
+def test_adaptive_theta_groups_selection_and_convergence():
+    """Low eta picks a parallel grouping; training still converges; tiny eta
+    on flat data reaches the fully-parallel mode."""
+    ds = synthetic_ratings(400, 200, 20000, rank=3, noise=0.1, seed=9)
+    train, test = ds.split(0.2, seed=10)
+    runner = PallasEpochRunner(
+        train, tile_u=128, tile_v=128, batch=512, seed=11,
+        mxu="float32", interpret=True,
+    )
+    gs = {eta: runner.pick_theta_groups(eta) for eta in (1e-4, 0.01, 0.5)}
+    assert gs[1e-4] <= gs[0.01] <= gs[0.5]
+    assert gs[1e-4] == 1  # flat data, tiny eta -> fully parallel
+
+    params = init_mf(jax.random.PRNGKey(2), ds.nu, ds.nv, 8, gb=ds.mean_rating())
+    tables = runner.pad(params)
+    for it in range(1, 8):
+        tables = runner.epoch(tables, 0.05 / it**0.3, 0.01, float(params.gb))
+    out = runner.trim(tables)
+    final = rmse(out, test)
+    assert final < 0.55, f"adaptive-group training failed to converge: {final}"

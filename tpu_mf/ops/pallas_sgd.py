@@ -188,6 +188,7 @@ def _epoch_kernel(
     # scratch
     sem,
     *, tile_u: int, tile_v: int, batch: int, dim: int, lanes: int, mxu_dtype,
+    theta_groups: int = 8,
 ):
     eta = hyper_ref[0]
     lam = hyper_ref[1]
@@ -235,58 +236,66 @@ def _epoch_kernel(
     lameta = 1.0 - eta * lam
     ln_lameta = jnp.log(lameta)  # lameta > 0 for any sane config
 
-    # The 8 sub-batches apply SEQUENTIALLY: each gathers from the tile state
-    # the previous one produced. The cell layout concentrates a user's
-    # ratings into few batches, so batch-level accumulation would see large
-    # within-batch duplicate counts (stale-gradient overshoot); sub-batch
-    # sequencing bounds the staleness horizon to B/8 slots and tracks the
-    # reference's sequential order more closely. Each column carries its own
-    # item tile, sliced from the VMEM-resident phi.
-    for k in range(8):
-        off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
-        phi = phi_out[pl.ds(off, tile_v), :]   # (TILE_V, lanes) view
+    # The ITEM side applies fully sequentially (items carry the popularity
+    # skew: accumulating k stale gradients on a hot row overshoots when
+    # k*eta*|t|^2 > 2). The USER side applies in `theta_groups` groups of
+    # 8/theta_groups columns: within a group all columns gather from the same
+    # theta state and their deltas accumulate (users are the flat side, so
+    # within-group duplicate counts stay small); the runner picks the group
+    # count per epoch from the plan's measured duplicate statistics and eta.
+    # Each column carries its own item tile, sliced from the resident phi.
+    per_group = 8 // theta_groups
+    for g in range(theta_groups):
         theta_mx = theta.astype(mxu_dtype)
-        phi_mx = phi.astype(mxu_dtype)
-        # One-hot encodings (exact in bf16: entries are 0/1). Gather side is
-        # (B/8, TILE); scatter side is built pre-transposed as (TILE, B/8)
-        # from the host-transposed ids, so every matmul contracts over the
-        # lhs lane axis — Mosaic never transposes a one-hot.
-        oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
-        oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
-        oht_u = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
-        oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
+        d_theta_g = jnp.zeros((tile_u, lanes), jnp.float32)
+        for k in range(g * per_group, (g + 1) * per_group):
+            off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
+            phi = phi_out[pl.ds(off, tile_v), :]   # (TILE_V, lanes) view
+            phi_mx = phi.astype(mxu_dtype)
+            # One-hot encodings (exact in bf16: entries are 0/1). Gather side
+            # is (B/8, TILE); scatter side is built pre-transposed as
+            # (TILE, B/8) from the host-transposed ids, so every matmul
+            # contracts over the lhs lane axis — Mosaic never transposes a
+            # one-hot.
+            oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
+            oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
+            oht_u = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
+            oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
 
-        # Fused gathers: factors and bias in one MXU pass per side.
-        t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
-        p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
+            # Fused gathers: factors and bias in one MXU pass per side.
+            t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
+            p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
 
-        # pred = t.p + bu + bv + gb, via lane masks:
-        # rowsum(t * (p*m_fac + m_bias)) = t.p + bu; rowsum(p*m_bias) = bv.
-        q = p * m_fac + m_bias
-        pred = (
-            jnp.sum(t * q, axis=1, keepdims=True)
-            + jnp.sum(p * m_bias, axis=1, keepdims=True)
-            + gb
-        )
-        wk = w3[:, k : k + 1]
-        err = (eta * wk) * (r3[:, k : k + 1] - pred)  # (B/8, 1)
+            # pred = t.p + bu + bv + gb, via lane masks:
+            # rowsum(t*(p*m_fac + m_bias)) = t.p + bu; rowsum(p*m_bias) = bv.
+            q = p * m_fac + m_bias
+            pred = (
+                jnp.sum(t * q, axis=1, keepdims=True)
+                + jnp.sum(p * m_bias, axis=1, keepdims=True)
+                + gb
+            )
+            wk = w3[:, k : k + 1]
+            err = (eta * wk) * (r3[:, k : k + 1] - pred)  # (B/8, 1)
 
-        # Fused scatters: rhs lanes carry [err*p_fac | err | w], so one MXU
-        # pass per side yields factor deltas, bias delta, and touch counts.
-        rhs_u = (err * q + wk * m_cnt).astype(mxu_dtype)
-        rhs_v = (err * (t * m_fac + m_bias) + wk * m_cnt).astype(mxu_dtype)
-        d_theta = jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
-        d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+            # Fused scatters: rhs lanes carry [err*p_fac | err | w], so one
+            # MXU pass per side yields factor deltas, bias delta, and touch
+            # counts.
+            rhs_u = (err * q + wk * m_cnt).astype(mxu_dtype)
+            rhs_v = (err * (t * m_fac + m_bias) + wk * m_cnt).astype(mxu_dtype)
+            d_theta_g += jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
+            d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
 
-        # Geometric per-occurrence decay (ops/common.py semantics): counts
-        # came through the scratch lane of the scatter result. Apply this
-        # sub-batch's update to the local tile state for the next sub-batch.
-        k_u = jnp.sum(d_theta * m_cnt, axis=1, keepdims=True)  # (TILE_U, 1)
-        k_v = jnp.sum(d_phi * m_cnt, axis=1, keepdims=True)
-        theta = theta * jnp.exp(k_u * ln_lameta) + d_theta * m_keep
-        phi_out[pl.ds(off, tile_v), :] = (
-            phi * jnp.exp(k_v * ln_lameta) + d_phi * m_keep
-        )
+            # Item tile: geometric per-occurrence decay (ops/common.py
+            # semantics; counts came through the scratch lane) applied NOW so
+            # the next column sees this one's item updates.
+            k_v = jnp.sum(d_phi * m_cnt, axis=1, keepdims=True)
+            phi_out[pl.ds(off, tile_v), :] = (
+                phi * jnp.exp(k_v * ln_lameta) + d_phi * m_keep
+            )
+
+        # User tile: apply the group's accumulated deltas and decay.
+        k_u = jnp.sum(d_theta_g * m_cnt, axis=1, keepdims=True)  # (TILE_U, 1)
+        theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * m_keep
 
     theta_out[:] = theta
 
@@ -295,13 +304,15 @@ def _epoch_kernel(
     jax.jit,
     donate_argnums=(0, 1),
     static_argnames=(
-        "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu", "interpret"
+        "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu",
+        "interpret", "theta_groups",
     ),
 )
 def _run_epoch(
     theta_ext, phi_ext,
     gu, gv, u, v, ut, vt, r, w, hyper,
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
+    theta_groups=8,
 ):
     nb = u.shape[0]
     gv = gv.reshape(-1)  # (nb*8,) per-column item-tile indices
@@ -309,7 +320,7 @@ def _run_epoch(
     kernel = functools.partial(
         _epoch_kernel,
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, lanes=lanes,
-        mxu_dtype=jnp.dtype(mxu),
+        mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -363,6 +374,7 @@ class PallasEpochRunner:
         seed: int = 0,
         mxu: str = "bfloat16",
         interpret: bool = False,
+        theta_groups=None,
     ):
         batch = cdiv(batch, 8) * 8
         self.plan = prepare_cells(ds, tile_u, tile_v, batch, seed)
@@ -370,6 +382,9 @@ class PallasEpochRunner:
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu = mxu
         self.interpret = interpret
+        # None = adaptive per epoch from duplicate statistics; int = fixed.
+        self.theta_groups = theta_groups
+        self._dup_max = _user_dup_stats(self.plan) if theta_groups is None else None
         u = self.plan.u
         v = self.plan.v
         self.dev = (
@@ -387,6 +402,20 @@ class PallasEpochRunner:
     def n_slots(self) -> int:
         return int(self.plan.u.size)
 
+    def pick_theta_groups(self, eta: float) -> int:
+        """Most parallel user-side grouping whose staleness stays safe.
+
+        A user row hit k times in one gather window accumulates k stale
+        gradients ~ k*eta*|phi|^2; require eta * max_dups(window) <= 0.2
+        (|phi|^2 rarely exceeds ~2.5 for rating-scale data).
+        """
+        if self.theta_groups is not None:
+            return self.theta_groups
+        for g in (1, 2, 4, 8):
+            if eta * self._dup_max[g] <= 0.2:
+                return g
+        return 8
+
     def epoch(self, tables, eta: float, lam: float, gb: float):
         """tables = (theta_ext, phi_ext) in the fused layout."""
         hyper = jnp.asarray([eta, lam, gb], jnp.float32)
@@ -395,6 +424,7 @@ class PallasEpochRunner:
             tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
             dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
             mxu=self.mxu, interpret=self.interpret,
+            theta_groups=self.pick_theta_groups(eta),
         )
 
     def pad(self, params: MFParams):
@@ -406,6 +436,39 @@ class PallasEpochRunner:
         return split_params(
             tables[0], tables[1], self.nu, self.nv, dim or self.dim, self.gb
         )
+
+
+def _user_dup_stats(plan: CellPlan) -> dict:
+    """max within-window user duplicate count, per theta_groups choice.
+
+    Window for theta_groups=g spans 8//g lane columns of B/8 slots each.
+    """
+    nb, sub, _ = plan.u.shape
+    sentinel = plan.tile_u
+    out = {}
+    # per-(batch, column) bincounts once, then combine columns per window
+    per_col = []
+    for b in range(nb):
+        cols = []
+        for c in range(8):
+            vals = plan.u[b, :, c]
+            vals = vals[vals < sentinel]
+            cols.append(np.bincount(vals, minlength=0) if len(vals) else None)
+        per_col.append(cols)
+    for g in (1, 2, 4, 8):
+        w = 8 // g
+        m = 0
+        for b in range(nb):
+            for g0 in range(g):
+                tot = np.zeros(sentinel, np.int64)
+                for c in range(g0 * w, (g0 + 1) * w):
+                    cc = per_col[b][c]
+                    if cc is not None and len(cc):
+                        tot[: len(cc)] += cc
+                if len(tot):
+                    m = max(m, int(tot.max()))
+        out[g] = m
+    return out
 
 
 def pallas_eligible(params: MFParams, batch_size: int) -> bool:
