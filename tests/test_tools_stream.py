@@ -142,3 +142,26 @@ def test_metrics_logger(tmp_path):
     lines = [json.loads(l) for l in open(path)]
     assert [l["epoch"] for l in lines] == [1, 2]
     assert all("updates_per_sec" in l and "t" in l for l in lines)
+
+
+def test_ranking_metrics():
+    from tpu_mf.models.eval import ranking_metrics
+    from tpu_mf.config import TrainConfig
+    from tpu_mf.train.loop import train_mf
+
+    ds = synthetic_ratings(120, 80, 12000, rank=3, noise=0.1, seed=8)
+    train, test = ds.split(0.2, seed=9)
+    cfg = TrainConfig(dim=8, iters=6, eta=0.05, lam=0.01, gam=0.3,
+                      gb=ds.mean_rating(), batch_size=512, seed=0)
+    params = train_mf(cfg, train, test_ds=None, log=lambda s: None)
+
+    m = ranking_metrics(params, test, train_ds=train, k=10,
+                        min_rating=float(np.percentile(test.r, 75)))
+    assert 0.0 <= m["precision@k"] <= 1.0
+    assert 0.0 <= m["ndcg@k"] <= 1.0
+    assert m["n_users"] > 50
+    # trained factors must beat random factors at ranking
+    rnd = init_mf(jax.random.PRNGKey(99), ds.nu, ds.nv, 8, gb=ds.mean_rating())
+    m_rnd = ranking_metrics(rnd, test, train_ds=train, k=10,
+                            min_rating=float(np.percentile(test.r, 75)))
+    assert m["ndcg@k"] > m_rnd["ndcg@k"]

@@ -375,28 +375,42 @@ class PallasEpochRunner:
         mxu: str = "bfloat16",
         interpret: bool = False,
         theta_groups=None,
+        n_plans: int = 1,
     ):
         batch = cdiv(batch, 8) * 8
-        self.plan = prepare_cells(ds, tile_u, tile_v, batch, seed)
+        # n_plans > 1 rotates between independently-shuffled cell plans per
+        # epoch, restoring between-epoch reshuffling (the reference replays
+        # one fixed file order, mf.h:37-44; rotation strictly improves on it
+        # at the cost of n_plans x device-resident batch arrays).
+        self.plans = [
+            prepare_cells(ds, tile_u, tile_v, batch, seed + 7919 * p)
+            for p in range(max(1, n_plans))
+        ]
+        self.plan = self.plans[0]
         self.nu, self.nv = ds.nu, ds.nv
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu = mxu
         self.interpret = interpret
         # None = adaptive per epoch from duplicate statistics; int = fixed.
         self.theta_groups = theta_groups
-        self._dup_max = _user_dup_stats(self.plan) if theta_groups is None else None
-        u = self.plan.u
-        v = self.plan.v
-        self.dev = (
-            jnp.asarray(self.plan.gu),
-            jnp.asarray(self.plan.gv),
-            jnp.asarray(u),
-            jnp.asarray(v),
-            jnp.asarray(np.swapaxes(u, 1, 2).copy()),
-            jnp.asarray(np.swapaxes(v, 1, 2).copy()),
-            jnp.asarray(self.plan.r),
-            jnp.asarray(self.plan.w),
+        self._dup_max = (
+            _user_dup_stats(self.plan) if theta_groups is None else None
         )
+        self.devs = []
+        for plan in self.plans:
+            u = plan.u
+            v = plan.v
+            self.devs.append((
+                jnp.asarray(plan.gu),
+                jnp.asarray(plan.gv),
+                jnp.asarray(u),
+                jnp.asarray(v),
+                jnp.asarray(np.swapaxes(u, 1, 2).copy()),
+                jnp.asarray(np.swapaxes(v, 1, 2).copy()),
+                jnp.asarray(plan.r),
+                jnp.asarray(plan.w),
+            ))
+        self.dev = self.devs[0]
 
     @property
     def n_slots(self) -> int:
@@ -416,11 +430,16 @@ class PallasEpochRunner:
                 return g
         return 8
 
-    def epoch(self, tables, eta: float, lam: float, gb: float):
-        """tables = (theta_ext, phi_ext) in the fused layout."""
+    def epoch(self, tables, eta: float, lam: float, gb: float,
+              epoch_idx: int = 0):
+        """tables = (theta_ext, phi_ext) in the fused layout; epoch_idx
+        rotates between the shuffled plans when n_plans > 1."""
         hyper = jnp.asarray([eta, lam, gb], jnp.float32)
+        plan_i = epoch_idx % len(self.plans)
+        # plans share tile geometry, so n_gu/n_gv/NB may differ only in NB —
+        # each distinct NB compiles once and is cached thereafter.
         return _run_epoch(
-            tables[0], tables[1], *self.dev, hyper,
+            tables[0], tables[1], *self.devs[plan_i], hyper,
             tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
             dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
             mxu=self.mxu, interpret=self.interpret,

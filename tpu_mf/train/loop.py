@@ -95,12 +95,13 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log) -> MFParams:
     runner = PallasEpochRunner(
         train_ds, tile_u=512, tile_v=512,
         batch=max(1024, cfg.batch_size), seed=cfg.seed,
+        n_plans=2 if cfg.iters > 1 else 1,  # between-epoch reshuffling
     )
     tables = runner.pad(params)
     gb = float(params.gb)
     t0 = time.perf_counter()
     for it in range(1, cfg.iters + 1):
-        tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam, gb)
+        tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam, gb, epoch_idx=it)
         jax.block_until_ready(tables[0])
         elapsed = time.perf_counter() - t0
         if test_ds is not None:
