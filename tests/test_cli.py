@@ -97,3 +97,11 @@ def test_cli_accepts_every_reference_flag():
     args = build_parser().parse_args(argv)
     assert args.lam == pytest.approx(1e-3)
     assert args.gb == pytest.approx(2.76)
+
+
+def test_cli_mf_stream_mode(data, capsys):
+    rc = main(base_args(data, "mf") + ["--eta", "0.03", "--stream"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("tRMSE=") == 2
+    assert "nan" not in out
