@@ -105,3 +105,86 @@ def test_cli_mf_stream_mode(data, capsys):
     out = capsys.readouterr().out
     assert out.count("tRMSE=") == 2
     assert "nan" not in out
+
+def test_cli_stream_guards(data, capsys):
+    # --stream is mf-only and single-chip: fail loudly, never silently ignore.
+    rc = main(base_args(data, "dpmf") + ["--eta", "1e-5", "--stream"])
+    assert rc == 1
+    assert "mf only" in capsys.readouterr().err
+    rc = main(base_args(data, "mf") + ["--eta", "0.03", "--stream", "--mesh", "2"])
+    assert rc == 1
+    assert "single-chip" in capsys.readouterr().err
+
+
+def test_cli_stream_infers_dims_without_loading(data, capsys, monkeypatch):
+    # The stream path must never materialize the training set in host RAM.
+    import tpu_mf.data.textfmt as textfmt
+
+    real = textfmt.read_any
+    calls = []
+
+    def spy(path, **kw):
+        calls.append(path)
+        return real(path, **kw)
+
+    monkeypatch.setattr(textfmt, "read_any", spy)
+    rc = main(base_args(data, "mf") + ["--eta", "0.03", "--stream"])
+    assert rc == 0
+    assert data["train"] not in calls  # only the test file was loaded
+    assert capsys.readouterr().out.count("tRMSE=") == 2
+
+
+def test_cli_metrics_jsonl(data, tmp_path):
+    import json
+
+    mpath = str(tmp_path / "m.jsonl")
+    rc = main(base_args(data, "mf") + ["--eta", "0.05", "--metrics", mpath])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(mpath)]
+    assert len(lines) == 2
+    assert lines[0]["alg"] == "mf" and lines[0]["round"] == 1
+    assert lines[1]["updates_per_sec"] > 0
+    assert "tRMSE" in lines[0] and np.isfinite(lines[0]["tRMSE"])
+
+
+def test_cli_resume_restart_continues(data, tmp_path, capsys):
+    """Killed-and-restarted run continues from the last round checkpoint."""
+    result = str(tmp_path / "resmf")
+    args = base_args(data, "mf") + ["--eta", "0.05", "--result", result, "--resume"]
+    # First run: 2 rounds -> checkpoints r1, r2.
+    assert main(args) == 0
+    capsys.readouterr()
+    # "Restart" with more iters: must resume at round 3, not round 1.
+    # (base_args sets --iter 2; the trailing flag wins in argparse.)
+    assert main(args + ["--iter", "4"]) == 0
+    out = capsys.readouterr().out
+    assert "# resumed from round 2" in out
+    assert "iter#3" in out and "iter#4" in out
+    assert "iter#1\t" not in out
+
+
+def test_cli_resume_requires_result(data, capsys):
+    rc = main(base_args(data, "mf") + ["--eta", "0.05", "--resume"])
+    assert rc == 1
+    assert "--result" in capsys.readouterr().err
+
+
+def test_cli_resume_dpmf_roundtrips_hyper(data, tmp_path, capsys):
+    result = str(tmp_path / "resdp")
+    args = base_args(data, "dpmf") + [
+        "--eta", "1e-5", "--temp", "1e-6", "--hyperb", "1000",
+        "--result", result, "--resume",
+    ]
+    assert main(args) == 0
+    capsys.readouterr()
+    assert main(args + ["--iter", "3"]) == 0
+    out = capsys.readouterr().out
+    assert "# resumed from round 2" in out
+    assert "round #3" in out and "round #1" not in out
+
+
+def test_cli_measure_ranking(data, capsys):
+    rc = main(base_args(data, "mf") + ["--eta", "0.05", "--measure", "1"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "recall@10=" in out and "ndcg@10=" in out

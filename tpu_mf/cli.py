@@ -65,9 +65,20 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-pallas", action="store_true",
                    help="disable fused Pallas kernels (pure-JAX fallback)")
     p.add_argument("--stream", action="store_true",
-                   help="mf only: stream the training file from disk each "
-                        "epoch instead of staging it on device (out-of-core; "
+                   help="stream the training file from disk each epoch "
+                        "instead of staging it on device (out-of-core; "
                         "reference: the TBB read pipeline, mf.h:6-70)")
+    # Observability / failure recovery (SURVEY §5).
+    p.add_argument("--metrics", metavar="PATH",
+                   help="append machine-readable JSONL metrics per epoch "
+                        "(RMSE, eta, updates/sec, lambdas)")
+    p.add_argument("--trace", metavar="DIR",
+                   help="capture a jax.profiler trace of training "
+                        "(TensorBoard-viewable)")
+    p.add_argument("--resume", action="store_true",
+                   help="checkpoint full training state each round under "
+                        "<result>.state.* and auto-resume from the newest "
+                        "one on restart (requires --result)")
     return p
 
 
@@ -82,6 +93,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         noise_size=args.noise_size, eta_reg=args.eta_reg, loss=args.loss,
         measure=args.measure, batch_size=args.batch_size, seed=args.seed,
         dtype=args.dtype, mesh=args.mesh, use_pallas=not args.no_pallas,
+        metrics=args.metrics, trace=args.trace, resume=args.resume,
     )
 
 
@@ -94,6 +106,15 @@ def main(argv=None) -> int:
     if cfg.train is None:
         print("Note that train_data is not optional!", file=sys.stderr)
         build_parser().print_help()
+        return 1
+    if cfg.resume and not cfg.result:
+        print("--resume requires --result (checkpoint prefix)", file=sys.stderr)
+        return 1
+    if args.stream and cfg.mesh > 1:
+        print("--stream is single-chip; drop --mesh or --stream", file=sys.stderr)
+        return 1
+    if args.stream and cfg.alg != "mf":
+        print("--stream currently supports --alg mf only", file=sys.stderr)
         return 1
 
     # Heavy imports deferred so --help is instant.
@@ -108,10 +129,34 @@ def main(argv=None) -> int:
     )
     from tpu_mf.train.loop import train_admf, train_dpmf, train_mf
 
-    nu = cfg.nu or None
-    nv = cfg.nv or None
-    train_ds = read_any(cfg.train, nu=nu, nv=nv)
-    test_ds = read_any(cfg.test, nu=train_ds.nu, nv=train_ds.nv) if cfg.test else None
+    if args.stream:
+        # Out-of-core: never materialize the training file in host RAM. Table
+        # sizes come from --nu/--nv or one cheap id-scan of the stream.
+        if cfg.nu and cfg.nv:
+            nu, nv = cfg.nu, cfg.nv
+        else:
+            from tpu_mf.io.stream import scan_dims
+
+            nu, nv, _ = scan_dims(cfg.train)
+        train_ds = None
+    else:
+        train_ds = read_any(cfg.train, nu=cfg.nu or None, nv=cfg.nv or None)
+        nu, nv = train_ds.nu, train_ds.nv
+    test_ds = read_any(cfg.test, nu=nu, nv=nv) if cfg.test else None
+
+    def report_ranking(params):
+        # --measure 1: ranking quality on top of RMSE (the reference's
+        # --measure only "supports RMSE", main.cc:33 — this is additive).
+        if cfg.measure != 1 or test_ds is None:
+            return
+        from tpu_mf.models.eval import ranking_metrics
+
+        m = ranking_metrics(params, test_ds, train_ds=train_ds, k=10)
+        print(
+            f"recall@{m['k']}={m['recall@k']:f}\t"
+            f"precision@{m['k']}={m['precision@k']:f}\t"
+            f"ndcg@{m['k']}={m['ndcg@k']:f}\tn_users={m['n_users']}"
+        )
 
     if cfg.alg == "mf":
         params0 = None
@@ -128,8 +173,7 @@ def main(argv=None) -> int:
             from tpu_mf.io.stream import streaming_sgd_epoch
 
             params = params0 or init_mf(
-                jax.random.PRNGKey(cfg.seed), train_ds.nu, train_ds.nv,
-                cfg.dim, gb=cfg.gb,
+                jax.random.PRNGKey(cfg.seed), nu, nv, cfg.dim, gb=cfg.gb,
             )
             t0 = _time.perf_counter()
             for it in range(1, cfg.iters + 1):
@@ -144,6 +188,7 @@ def main(argv=None) -> int:
                     print(f"iter#{it}\t{elapsed:f}")
         else:
             params = train_mf(cfg, train_ds, test_ds=test_ds, params=params0)
+        report_ranking(params)
         if cfg.result:
             if cfg.result.endswith(".npz"):
                 save_npz(cfg.result, params, lam=np.float32(cfg.lam))
@@ -183,6 +228,7 @@ def main(argv=None) -> int:
         state = train_dpmf(
             cfg, train_ds, test_ds=test_ds, state=state0, save_fn=save_fn
         )
+        report_ranking(state.params)
         if cfg.result:
             save_fn(state, cfg.iters)
     else:  # admf
@@ -191,6 +237,7 @@ def main(argv=None) -> int:
             return 1
         valid_ds = read_any(cfg.valid, nu=train_ds.nu, nv=train_ds.nv)
         state = train_admf(cfg, train_ds, valid_ds, test_ds=test_ds)
+        report_ranking(state.params)
         if cfg.result:
             save_mf_binary(f"{cfg.result}_{cfg.iters}", state.params, float(state.lam_u))
     return 0

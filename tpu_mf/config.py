@@ -68,8 +68,11 @@ class TrainConfig:
     use_pallas: bool = True    # use fused Pallas kernel when eligible
     eval_batch: int = 1 << 20  # chunk size for RMSE evaluation
 
-    def scaled(self) -> "TrainConfig":
-        return self
+    # --- observability / failure recovery (SURVEY §5; no reference counterpart) ---
+    metrics: Optional[str] = None   # JSONL metrics path (train/metrics.py)
+    trace: Optional[str] = None     # jax.profiler trace dir
+    resume: bool = False            # auto checkpoint/resume per round (io/resume.py)
+    resume_every: int = 1           # save-round cadence when resume is on
 
     def eta_at(self, round_: int) -> float:
         """LR schedule eta(round) = eta0 / round**gam (reference: model.cc:36-38)."""

@@ -56,6 +56,25 @@ def stream_batches(
         )
 
 
+def scan_dims(path: str) -> Tuple[int, int, int]:
+    """One cheap pass over an on-disk block stream: (nu, nv, n_ratings).
+
+    Lets --stream infer table sizes without materializing the dataset in
+    host RAM (the whole point of streaming); only ids are touched, frames
+    are decoded and dropped one at a time.
+    """
+    max_u = -1
+    max_v = -1
+    n = 0
+    for payload in iter_frames(path):
+        fu, fv, _ = parse_block(payload)
+        if fu:
+            max_u = max(max_u, max(fu))
+            max_v = max(max_v, max(fv))
+            n += len(fu)
+    return max_u + 1, max_v + 1, n
+
+
 class Prefetcher:
     """Stage batches onto the device from a background thread, ``fly`` ahead.
 

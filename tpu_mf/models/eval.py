@@ -41,7 +41,10 @@ def ranking_metrics(
 
     Items the user rated in train_ds are masked out of the candidates
     (standard leave-out protocol). Users whose train history exceeds
-    ``max_seen`` items have only their most recent ``max_seen`` masked.
+    ``max_seen`` items have only their FIRST ``max_seen`` items (in train_ds
+    order — RatingsCOO carries no timestamps) masked; the count of such
+    truncated users is returned as ``n_truncated`` so callers can raise
+    ``max_seen`` when it is nonzero.
     """
     import jax.numpy as jnp
 
@@ -51,9 +54,13 @@ def ranking_metrics(
         return {"recall@k": 0.0, "precision@k": 0.0, "ndcg@k": 0.0, "k": k}
 
     seen: Dict[int, list] = {}
+    n_truncated = 0
     if train_ds is not None:
         for u, v in zip(train_ds.u, train_ds.v):
             seen.setdefault(int(u), []).append(int(v))
+        n_truncated = sum(
+            1 for u in users if len(seen.get(int(u), [])) > max_seen
+        )
 
     log2 = np.log2(np.arange(2, k + 2))  # DCG discounts
     recall = prec = ndcg = 0.0
@@ -87,4 +94,5 @@ def ranking_metrics(
         "ndcg@k": ndcg / n,
         "k": k,
         "n_users": int(n),
+        "n_truncated": n_truncated,
     }

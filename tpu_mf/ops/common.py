@@ -59,3 +59,22 @@ def decay_factors(
         is_first = is_first[:, None]
         counts = counts[:, None]
     return jnp.where(is_first, jnp.power(base, counts), 1.0)
+
+
+def distinct_counts(ids, real) -> "np.ndarray":
+    """Distinct real ids per leading row, vectorized (host-side plan build).
+
+    ids/real: (..., n_slots) arrays; returns float32 of shape ids.shape[:-1].
+    Replaces O(rows * n_slots) Python np.unique loops with one sort — plan
+    build for Netflix/Yahoo-scale configs must finish in seconds, not minutes.
+    """
+    import numpy as np
+
+    sentinel = np.iinfo(np.int64).max
+    flat = ids.astype(np.int64, copy=True)
+    flat[~np.asarray(real, bool)] = sentinel
+    flat.sort(axis=-1)
+    first = np.empty(flat.shape, bool)
+    first[..., :1] = flat[..., :1] < sentinel
+    first[..., 1:] = (flat[..., 1:] != flat[..., :-1]) & (flat[..., 1:] < sentinel)
+    return first.sum(axis=-1).astype(np.float32)

@@ -298,11 +298,14 @@ class PallasAdRegRunner:
         self.mxu, self.interpret, self.loss = mxu, interpret, loss
         self.n_reg_samples = n_reg_samples
 
-        # user-visits per segment: distinct real users per batch, summed.
-        visits = np.zeros(nb_pad, np.float64)
-        for b in range(nb):
-            real = plan.w[b].reshape(-1) > 0
-            visits[b] = len(np.unique(plan.u[b].reshape(-1)[real]))
+        # user-visits per segment: distinct real users per batch, summed
+        # (vectorized — Python np.unique loops take minutes at Netflix scale).
+        from tpu_mf.ops.common import distinct_counts
+
+        visits = np.zeros(nb_pad, np.float32)
+        visits[:nb] = distinct_counts(
+            plan.u.reshape(nb, -1), plan.w.reshape(nb, -1) > 0
+        )
         self.visits_per_seg = visits.reshape(segments, -1).sum(1).astype(np.float32)
 
         def seg(x):

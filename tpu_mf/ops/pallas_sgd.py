@@ -314,6 +314,9 @@ def _run_epoch(
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
     theta_groups=8,
 ):
+    assert theta_groups in (1, 2, 4, 8), (
+        f"theta_groups must divide the 8 lane columns, got {theta_groups}"
+    )
     nb = u.shape[0]
     gv = gv.reshape(-1)  # (nb*8,) per-column item-tile indices
     lanes = row_lanes(dim)
@@ -392,10 +395,20 @@ class PallasEpochRunner:
         self.mxu = mxu
         self.interpret = interpret
         # None = adaptive per epoch from duplicate statistics; int = fixed.
+        if theta_groups is not None:
+            assert theta_groups in (1, 2, 4, 8), (
+                f"theta_groups must divide the 8 lane columns, got {theta_groups}"
+            )
         self.theta_groups = theta_groups
-        self._dup_max = (
-            _user_dup_stats(self.plan) if theta_groups is None else None
-        )
+        # Elementwise max over ALL plans: epoch() rotates plans, and each
+        # independent shuffle has its own within-window duplicate profile —
+        # the staleness guard must hold for every plan it can pick.
+        self._dup_max = None
+        if theta_groups is None:
+            stats = [_user_dup_stats(p) for p in self.plans]
+            self._dup_max = {
+                g: max(s[g] for s in stats) for g in (1, 2, 4, 8)
+            }
         self.devs = []
         for plan in self.plans:
             u = plan.u
@@ -461,32 +474,31 @@ def _user_dup_stats(plan: CellPlan) -> dict:
     """max within-window user duplicate count, per theta_groups choice.
 
     Window for theta_groups=g spans 8//g lane columns of B/8 slots each.
+    Vectorized (one keyed bincount per batch chunk) so plan build stays
+    seconds at Netflix/Yahoo scale; chunked over batches to bound memory.
     """
     nb, sub, _ = plan.u.shape
     sentinel = plan.tile_u
-    out = {}
-    # per-(batch, column) bincounts once, then combine columns per window
-    per_col = []
-    for b in range(nb):
-        cols = []
-        for c in range(8):
-            vals = plan.u[b, :, c]
-            vals = vals[vals < sentinel]
-            cols.append(np.bincount(vals, minlength=0) if len(vals) else None)
-        per_col.append(cols)
-    for g in (1, 2, 4, 8):
-        w = 8 // g
-        m = 0
-        for b in range(nb):
-            for g0 in range(g):
-                tot = np.zeros(sentinel, np.int64)
-                for c in range(g0 * w, (g0 + 1) * w):
-                    cc = per_col[b][c]
-                    if cc is not None and len(cc):
-                        tot[: len(cc)] += cc
-                if len(tot):
-                    m = max(m, int(tot.max()))
-        out[g] = m
+    out = {g: 0 for g in (1, 2, 4, 8)}
+    chunk = max(1, (1 << 23) // (8 * sentinel))  # ~64 MB of int64 counts
+    for s0 in range(0, nb, chunk):
+        u = plan.u[s0 : s0 + chunk]
+        cb = u.shape[0]
+        c_idx = np.broadcast_to(np.arange(8, dtype=np.int64), u.shape)
+        b_idx = np.broadcast_to(
+            np.arange(cb, dtype=np.int64)[:, None, None], u.shape
+        )
+        real = u < sentinel  # padded slots carry the tile_u sentinel
+        key = ((b_idx * 8 + c_idx) * sentinel + u)[real]
+        counts = np.bincount(key, minlength=cb * 8 * sentinel).reshape(
+            cb, 8, sentinel
+        )
+        for g in (1, 2, 4, 8):
+            w = 8 // g
+            # column c belongs to window c // w: reshape(g, w) groups
+            # consecutive columns, matching the kernel's k-loop ranges.
+            m = counts.reshape(cb, g, w, sentinel).sum(2).max(initial=0)
+            out[g] = max(out[g], int(m))
     return out
 
 
@@ -496,9 +508,3 @@ def pallas_eligible(params: MFParams, batch_size: int) -> bool:
     nv = params.phi.shape[0]
     vmem_phi = cdiv(nv, 512) * 512 * row_lanes(dim) * 4
     return dim <= MAX_DIM and vmem_phi <= 64 * 1024 * 1024
-
-
-def pallas_sgd_epoch(*args, **kwargs):  # pragma: no cover - see pick_epoch_fn
-    raise NotImplementedError(
-        "use PallasEpochRunner; pick_epoch_fn wires it up for bench/training"
-    )

@@ -120,16 +120,17 @@ class ShardedAdRegRunner:
         )
         # user-visits per substep (sums over devices): scales the
         # hypergradient like the reference's one-update-per-user cadence.
+        # Vectorized distinct-count per (device, substep, batch), then summed
+        # over devices and batches for each substep.
+        from tpu_mf.ops.common import distinct_counts
+
         w = self.splan.w
         u = self.splan.u
-        visits = np.zeros(self.n_dev, np.float64)
-        for s in range(self.n_dev):
-            for p in range(self.n_dev):
-                for b in range(w.shape[2]):
-                    real = w[p, s, b].reshape(-1) > 0
-                    if real.any():
-                        visits[s] += len(np.unique(u[p, s, b].reshape(-1)[real]))
-        self.visits_per_substep = visits.astype(np.float32)
+        P, S, NB = u.shape[:3]
+        per_batch = distinct_counts(
+            u.reshape(P, S, NB, -1), w.reshape(P, S, NB, -1) > 0
+        )
+        self.visits_per_substep = per_batch.sum(axis=(0, 2)).astype(np.float32)
 
     def pad(self, state: AdaptRegState):
         self.dim = state.params.theta.shape[1]

@@ -12,6 +12,7 @@ host-side batch preparation + device scan (tpu_mf.ops.sgd.sgd_epoch).
 
 from __future__ import annotations
 
+import contextlib
 import time
 from typing import Callable, Optional
 
@@ -28,6 +29,63 @@ from tpu_mf.ops.adreg import adreg_epoch
 from tpu_mf.ops.gibbs import sample_hyper
 from tpu_mf.ops.sgd import sgd_epoch
 from tpu_mf.ops.sgld import SgldHyper, finish_noise, sgld_epoch
+from tpu_mf.train.metrics import MetricsLogger, profile_trace
+
+
+class _Observer:
+    """Wires the SURVEY §5 observability/recovery subsystems into the loops.
+
+    The reference's observability is printf only; here --metrics appends
+    JSONL (eta, RMSE, updates/sec), --trace captures a jax.profiler trace,
+    and --resume writes atomic per-round state checkpoints under
+    ``<result>.state.*`` and restarts from the newest one (io/resume.py).
+    """
+
+    def __init__(self, cfg: TrainConfig, n_train: int):
+        self.cfg = cfg
+        self.n_train = n_train
+        self.ml = MetricsLogger(cfg.metrics) if cfg.metrics else None
+        self.prefix = (
+            f"{cfg.result}.state" if (cfg.resume and cfg.result) else None
+        )
+
+    def trace(self):
+        return profile_trace(self.cfg.trace)
+
+    def resume(self):
+        """(start_round, params, extras) from the newest checkpoint, if any."""
+        if self.prefix is None:
+            return 0, None, None
+        from tpu_mf.io.resume import load_round, resume_round
+
+        rnd = resume_round(self.prefix)
+        if rnd == 0:
+            return 0, None, None
+        params, extras = load_round(self.prefix)
+        return rnd, params, extras
+
+    def epoch_done(self, rnd: int, params_fn=None, extras_fn=None, **fields):
+        """Record one finished round: metrics line + resume checkpoint.
+
+        params_fn/extras_fn are lazy so the fused paths only pay for table
+        trimming when a checkpoint is actually being written.
+        """
+        if self.ml is not None:
+            self.ml.count_updates(self.n_train)
+            self.ml.log(round=rnd, **fields)
+        if (
+            self.prefix is not None
+            and params_fn is not None
+            and rnd % max(1, self.cfg.resume_every) == 0
+        ):
+            from tpu_mf.io.resume import save_round
+
+            extras = extras_fn() if extras_fn is not None else {}
+            save_round(self.prefix, rnd, params_fn(), **extras)
+
+    def close(self):
+        if self.ml is not None:
+            self.ml.close()
 
 
 def train_mf(
@@ -49,46 +107,69 @@ def train_mf(
         key = jax.random.PRNGKey(cfg.seed)
         params = init_mf(key, nu, nv, cfg.dim, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype))
 
-    if cfg.mesh > 1:
-        return _train_mf_sharded(cfg, train_ds, test_ds, params, log)
+    obs = _Observer(cfg, len(train_ds))
+    start, rparams, _ = obs.resume()
+    if rparams is not None:
+        params = rparams
+        log(f"# resumed from round {start} ({obs.prefix})")
+    try:
+        with obs.trace():
+            if cfg.mesh > 1:
+                return _train_mf_sharded(
+                    cfg, train_ds, test_ds, params, log, obs, start
+                )
 
-    if cfg.use_pallas and jax.default_backend() != "cpu":
-        from tpu_mf.ops.pallas_sgd import PallasEpochRunner, pallas_eligible
+            if cfg.use_pallas and jax.default_backend() != "cpu":
+                from tpu_mf.ops.pallas_sgd import pallas_eligible
 
-        if pallas_eligible(params, cfg.batch_size):
-            return _train_mf_pallas(cfg, train_ds, test_ds, params, log)
+                if pallas_eligible(params, cfg.batch_size):
+                    return _train_mf_pallas(
+                        cfg, train_ds, test_ds, params, log, obs, start
+                    )
 
-    # Static batch layout; per-epoch shuffle permutes within it on device.
-    flat, shuffle = _static_batches(train_ds, cfg.batch_size)
+            # Static batch layout; per-epoch shuffle permutes within it on
+            # device.
+            flat, shuffle = _static_batches(train_ds, cfg.batch_size)
 
-    t0 = time.perf_counter()
-    for it in range(1, cfg.iters + 1):
-        eta_r = jnp.float32(cfg.eta_at(it))
-        lam = jnp.float32(cfg.lam)
-        if device_shuffle:
-            kshuf = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5F5E), it)
-            batches = shuffle(kshuf, *flat)
-        else:
-            eu, ev, er, ew = epoch_batches(train_ds, cfg.batch_size, it, cfg.seed)
-            batches = tuple(jnp.asarray(x) for x in (eu, ev, er, ew))
-        params = sgd_epoch(params, batches, eta_r, lam)
-        jax.block_until_ready(params.theta)
-        elapsed = time.perf_counter() - t0
-        if test_ds is not None:
-            t_rmse = rmse(params, test_ds)
-            # Reference prints cumulative elapsed time (src/mf.h:33-35).
-            log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
-        else:
-            log(f"iter#{it}\t{elapsed:f}")
-    return params
+            t0 = time.perf_counter()
+            for it in range(start + 1, cfg.iters + 1):
+                eta_r = jnp.float32(cfg.eta_at(it))
+                lam = jnp.float32(cfg.lam)
+                if device_shuffle:
+                    kshuf = jax.random.fold_in(
+                        jax.random.PRNGKey(cfg.seed ^ 0x5F5E), it
+                    )
+                    batches = shuffle(kshuf, *flat)
+                else:
+                    eu, ev, er, ew = epoch_batches(
+                        train_ds, cfg.batch_size, it, cfg.seed
+                    )
+                    batches = tuple(jnp.asarray(x) for x in (eu, ev, er, ew))
+                params = sgd_epoch(params, batches, eta_r, lam)
+                jax.block_until_ready(params.theta)
+                elapsed = time.perf_counter() - t0
+                t_rmse = None
+                if test_ds is not None:
+                    t_rmse = float(rmse(params, test_ds))
+                    # Reference prints cumulative elapsed (src/mf.h:33-35).
+                    log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
+                else:
+                    log(f"iter#{it}\t{elapsed:f}")
+                obs.epoch_done(
+                    it, params_fn=lambda: params, alg="mf",
+                    eta=float(eta_r), elapsed=elapsed, tRMSE=t_rmse,
+                )
+            return params
+    finally:
+        obs.close()
 
 
-def _train_mf_pallas(cfg, train_ds, test_ds, params, log) -> MFParams:
+def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFParams:
     """MF training epochs on the fused Pallas kernel (ops/pallas_sgd.py).
 
-    The cell plan (and thus the within-epoch rating order) is fixed across
-    epochs — the reference behaves the same way, rewinding and replaying the
-    training file in identical order every epoch (src/mf.h:37-44).
+    n_plans=2 rotates between two independently-shuffled cell plans per
+    epoch (the reference replays one fixed file order every epoch,
+    src/mf.h:37-44; rotation strictly improves on that).
     """
     from tpu_mf.ops.pallas_sgd import PallasEpochRunner
 
@@ -100,19 +181,24 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log) -> MFParams:
     tables = runner.pad(params)
     gb = float(params.gb)
     t0 = time.perf_counter()
-    for it in range(1, cfg.iters + 1):
+    for it in range(start + 1, cfg.iters + 1):
         tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam, gb, epoch_idx=it)
         jax.block_until_ready(tables[0])
         elapsed = time.perf_counter() - t0
+        t_rmse = None
         if test_ds is not None:
-            t_rmse = rmse(runner.trim(tables), test_ds)
+            t_rmse = float(rmse(runner.trim(tables), test_ds))
             log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
         else:
             log(f"iter#{it}\t{elapsed:f}")
+        obs.epoch_done(
+            it, params_fn=lambda: runner.trim(tables), alg="mf",
+            kernel="pallas", eta=cfg.eta_at(it), elapsed=elapsed, tRMSE=t_rmse,
+        )
     return runner.trim(tables)
 
 
-def _train_mf_sharded(cfg, train_ds, test_ds, params, log) -> MFParams:
+def _train_mf_sharded(cfg, train_ds, test_ds, params, log, obs=None, start=0) -> MFParams:
     """MF training over a --mesh N device mesh (diagonal-block DSGD).
 
     Uses the fused Pallas kernel per device on TPU, the XLA kernel on CPU
@@ -131,15 +217,22 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log) -> MFParams:
             batch=max(1024, cfg.batch_size), seed=cfg.seed,
         )
         tables = runner.pad(params)
-        for it in range(1, cfg.iters + 1):
+        for it in range(start + 1, cfg.iters + 1):
             tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam)
             jax.block_until_ready(tables[0])
             elapsed = time.perf_counter() - t0
+            t_rmse = None
             if test_ds is not None:
-                t_rmse = rmse(runner.trim(tables), test_ds)
+                t_rmse = float(rmse(runner.trim(tables), test_ds))
                 log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
             else:
                 log(f"iter#{it}\t{elapsed:f}")
+            if obs is not None:
+                obs.epoch_done(
+                    it, params_fn=lambda: runner.trim(tables), alg="mf",
+                    kernel="pallas-sharded", eta=cfg.eta_at(it),
+                    elapsed=elapsed, tRMSE=t_rmse,
+                )
         return runner.trim(tables)
 
     from tpu_mf.data.blocker import cdiv, partition_diagonal
@@ -166,15 +259,22 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log) -> MFParams:
         nu=train_ds.nu,
         nv=train_ds.nv,
     )
-    for it in range(1, cfg.iters + 1):
+    for it in range(start + 1, cfg.iters + 1):
         state = dsgd_epoch(mesh, state, blocks, cfg.eta_at(it), cfg.lam)
         jax.block_until_ready(state.theta)
         elapsed = time.perf_counter() - t0
+        t_rmse = None
         if test_ds is not None:
-            t_rmse = rmse(gather_params(state), test_ds)
+            t_rmse = float(rmse(gather_params(state), test_ds))
             log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
         else:
             log(f"iter#{it}\t{elapsed:f}")
+        if obs is not None:
+            obs.epoch_done(
+                it, params_fn=lambda: gather_params(state), alg="mf",
+                kernel="xla-sharded", eta=cfg.eta_at(it),
+                elapsed=elapsed, tRMSE=t_rmse,
+            )
     return gather_params(state)
 
 
@@ -224,6 +324,24 @@ def train_dpmf(
     ntrain = len(train_ds)
     bound = dp_bound(cfg.epsilon, cfg.tau, train_ds.nv)
 
+    obs = _Observer(cfg, ntrain)
+    start, rparams, rex = obs.resume()
+    if rparams is not None:
+        # Full SGLD state round-trips: params + Gibbs precisions + lazy-noise
+        # counters (ur/vr are recomputed deterministically by init_dpmf).
+        state = state._replace(
+            params=rparams,
+            lambda_r=jnp.float32(rex["lambda_r"]),
+            lambda_ub=jnp.float32(rex["lambda_ub"]),
+            lambda_vb=jnp.float32(rex["lambda_vb"]),
+            lambda_u=jnp.asarray(rex["lambda_u"]),
+            lambda_v=jnp.asarray(rex["lambda_v"]),
+            gcountu=jnp.asarray(rex["gcountu"]),
+            gcountv=jnp.asarray(rex["gcountv"]),
+            gcount=jnp.int32(rex["gcount"]),
+        )
+        log(f"# resumed from round {start} ({obs.prefix})")
+
     sgld_runner = None
     if cfg.mesh > 1:
         from tpu_mf.ops.pallas_sgld import sgld_pallas_eligible
@@ -257,68 +375,100 @@ def train_dpmf(
                 train_ds, tile_u=512, tile_v=512,
                 batch=max(1024, cfg.batch_size), seed=cfg.seed,
             )
+        elif cfg.mesh <= 1:
+            log(
+                "# fused SGLD ineligible (see sgld_pallas_eligible); "
+                "falling back to the XLA path"
+            )
 
     flat, shuffle = _static_batches(train_ds, cfg.batch_size)
     base_key = jax.random.PRNGKey(cfg.seed ^ 0xD1FF)
 
+    def dpmf_extras(s: DPMFState) -> dict:
+        return dict(
+            lambda_r=np.float32(s.lambda_r),
+            lambda_ub=np.float32(s.lambda_ub),
+            lambda_vb=np.float32(s.lambda_vb),
+            lambda_u=np.asarray(s.lambda_u),
+            lambda_v=np.asarray(s.lambda_v),
+            gcountu=np.asarray(s.gcountu),
+            gcountv=np.asarray(s.gcountv),
+            gcount=np.int32(s.gcount),
+        )
+
     t0 = time.perf_counter()
-    for rnd in range(1, cfg.iters + 1):
-        eta_r = cfg.eta_at_cutoff(rnd)
-        if sgld_runner is not None:
-            scal = eta_r * ntrain * bound * float(state.lambda_r)
-            sgld_runner.set_lambdas(state)
-            tables = sgld_runner.pad(state)
-            tables = sgld_runner.epoch(
-                tables,
-                int(state.gcount),
-                (eta_r, cfg.temp, bound, scal, float(state.params.gb)),
-                # Rounds must not collide in seed space: the kernel seeds
-                # prng with (noise_seed + batch_index) per device/substep.
-                noise_seed=cfg.seed * 1_000_003 + rnd * sgld_runner.seed_stride,
+    with contextlib.ExitStack() as stack:
+        stack.callback(obs.close)
+        stack.enter_context(obs.trace())
+        for rnd in range(start + 1, cfg.iters + 1):
+            eta_r = cfg.eta_at_cutoff(rnd)
+            if sgld_runner is not None:
+                scal = eta_r * ntrain * bound * float(state.lambda_r)
+                sgld_runner.set_lambdas(state)
+                tables = sgld_runner.pad(state)
+                tables = sgld_runner.epoch(
+                    tables,
+                    int(state.gcount),
+                    (eta_r, cfg.temp, bound, scal, float(state.params.gb)),
+                    # Rounds must not collide in seed space: the kernel seeds
+                    # prng with (noise_seed + batch_index) per device/substep.
+                    noise_seed=cfg.seed * 1_000_003
+                    + rnd * sgld_runner.seed_stride,
+                )
+                state = sgld_runner.unpack(state, tables)
+            else:
+                hyper = SgldHyper(
+                    eta=jnp.float32(eta_r),
+                    temp=jnp.float32(cfg.temp),
+                    bound=jnp.float32(bound),
+                    ntrain=jnp.float32(ntrain),
+                )
+                kshuf = jax.random.fold_in(
+                    jax.random.PRNGKey(cfg.seed ^ 0x5A5A), rnd
+                )
+                batches = shuffle(kshuf, *flat)
+                knoise = jax.random.fold_in(base_key, rnd)
+                state = sgld_epoch(state, batches, hyper, knoise)
+            state = finish_noise(
+                state,
+                jnp.float32(eta_r),
+                jnp.float32(cfg.temp),
+                jax.random.fold_in(base_key, rnd + 500_000),
             )
-            state = sgld_runner.unpack(state, tables)
-        else:
-            hyper = SgldHyper(
-                eta=jnp.float32(eta_r),
-                temp=jnp.float32(cfg.temp),
-                bound=jnp.float32(bound),
-                ntrain=jnp.float32(ntrain),
+            # Train-sample SSE drives the lambda_r posterior; the reference's
+            # "sample" is the full train set (model.cc:273-274 quirk, SURVEY §7).
+            train_mse = calc_mse(
+                state.params, train_ds.u, train_ds.v, train_ds.r, cfg.eval_batch
             )
-            kshuf = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x5A5A), rnd)
-            batches = shuffle(kshuf, *flat)
-            knoise = jax.random.fold_in(base_key, rnd)
-            state = sgld_epoch(state, batches, hyper, knoise)
-        state = finish_noise(
-            state,
-            jnp.float32(eta_r),
-            jnp.float32(cfg.temp),
-            jax.random.fold_in(base_key, rnd + 500_000),
-        )
-        # Train-sample SSE drives the lambda_r posterior; the reference's
-        # "sample" is the full train set (model.cc:273-274 quirk, SURVEY §7).
-        train_mse = calc_mse(
-            state.params, train_ds.u, train_ds.v, train_ds.r, cfg.eval_batch
-        )
-        sse = train_mse * ntrain
-        state = sample_hyper(
-            state,
-            jnp.float32(sse),
-            jnp.float32(ntrain),
-            jnp.float32(cfg.hypera),
-            jnp.float32(cfg.hyperb),
-            jax.random.fold_in(base_key, rnd + 1_000_000),
-        )
-        elapsed = time.perf_counter() - t0
-        if test_ds is not None:
-            t_rmse = rmse(state.params, test_ds)
-            log(
-                f"round #{rnd}\tRMSE={np.sqrt(train_mse):f}\t"
-                f"tRMSE={t_rmse:f}\t{elapsed:f}"
+            sse = train_mse * ntrain
+            state = sample_hyper(
+                state,
+                jnp.float32(sse),
+                jnp.float32(ntrain),
+                jnp.float32(cfg.hypera),
+                jnp.float32(cfg.hyperb),
+                jax.random.fold_in(base_key, rnd + 1_000_000),
             )
-        else:
-            log(f"round #{rnd}\tRMSE={np.sqrt(train_mse):f}\t{elapsed:f}")
-        if save_fn is not None and rnd >= 100 and rnd % 20 == 0:
-            save_fn(state, rnd)
+            elapsed = time.perf_counter() - t0
+            t_rmse = None
+            if test_ds is not None:
+                t_rmse = float(rmse(state.params, test_ds))
+                log(
+                    f"round #{rnd}\tRMSE={np.sqrt(train_mse):f}\t"
+                    f"tRMSE={t_rmse:f}\t{elapsed:f}"
+                )
+            else:
+                log(f"round #{rnd}\tRMSE={np.sqrt(train_mse):f}\t{elapsed:f}")
+            obs.epoch_done(
+                rnd,
+                params_fn=lambda: state.params,
+                extras_fn=lambda: dpmf_extras(state),
+                alg="dpmf", eta=eta_r, elapsed=elapsed,
+                RMSE=float(np.sqrt(train_mse)), tRMSE=t_rmse,
+                lambda_r=float(state.lambda_r),
+            )
+            if save_fn is not None and rnd >= 100 and rnd % 20 == 0:
+                save_fn(state, rnd)
     return state
 
 
@@ -340,6 +490,44 @@ def train_admf(
             key, nu, nv, cfg.dim, lam=cfg.lam, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype)
         )
 
+    obs = _Observer(cfg, len(train_ds))
+    start, rparams, rex = obs.resume()
+    if rparams is not None:
+        # Shadow tables restart as copies of the restored params — the same
+        # "no previous update yet" state a fresh epoch begins with.
+        state = state._replace(
+            params=rparams,
+            theta_old=jnp.copy(rparams.theta),
+            phi_old=jnp.copy(rparams.phi),
+            bu_old=jnp.copy(rparams.bu),
+            bv_old=jnp.copy(rparams.bv),
+            lam_u=jnp.float32(rex["lam_u"]),
+            lam_v=jnp.float32(rex["lam_v"]),
+            lam_bu=jnp.float32(rex["lam_bu"]),
+            lam_bv=jnp.float32(rex["lam_bv"]),
+        )
+        log(f"# resumed from round {start} ({obs.prefix})")
+
+    with contextlib.ExitStack() as stack:
+        stack.callback(obs.close)
+        stack.enter_context(obs.trace())
+        return _train_admf_impl(
+            cfg, train_ds, valid_ds, test_ds, state, log, obs, start
+        )
+
+
+def _admf_extras(s: AdaptRegState) -> dict:
+    return dict(
+        lam_u=np.float32(s.lam_u), lam_v=np.float32(s.lam_v),
+        lam_bu=np.float32(s.lam_bu), lam_bv=np.float32(s.lam_bv),
+    )
+
+
+def _train_admf_impl(
+    cfg, train_ds, valid_ds, test_ds, state, log, obs, start
+) -> AdaptRegState:
+    nu, nv = train_ds.nu, train_ds.nv
+    admf_extras = _admf_extras
     if cfg.mesh > 1:
         from tpu_mf.parallel.adreg_sharded import ShardedAdRegRunner
         from tpu_mf.parallel.mesh import make_mesh
@@ -355,18 +543,26 @@ def train_admf(
         )
         tables = runner.pad(state)
         t0 = time.perf_counter()
-        for it in range(1, cfg.iters + 1):
+        for it in range(start + 1, cfg.iters + 1):
             tables = runner.epoch(
                 tables, cfg.eta_at(it), cfg.eta_reg_at(it),
                 jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0xADF1), it),
             )
             jax.block_until_ready(tables[0])
             elapsed = time.perf_counter() - t0
+            t_rmse = None
             if test_ds is not None:
-                t_rmse = rmse(runner.trim(tables), test_ds)
+                t_rmse = float(rmse(runner.trim(tables), test_ds))
                 log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
             else:
                 log(f"iter#{it}\t{elapsed:f}")
+            obs.epoch_done(
+                it,
+                params_fn=lambda: runner.trim(tables),
+                extras_fn=lambda: admf_extras(runner.state(tables, state)),
+                alg="admf", kernel="pallas-sharded", eta=cfg.eta_at(it),
+                elapsed=elapsed, tRMSE=t_rmse,
+            )
         return runner.state(tables, state)
 
     if cfg.use_pallas and jax.default_backend() != "cpu":
@@ -379,18 +575,26 @@ def train_admf(
             )
             tables = runner.pad(state)
             t0 = time.perf_counter()
-            for it in range(1, cfg.iters + 1):
+            for it in range(start + 1, cfg.iters + 1):
                 tables = runner.epoch(
                     tables, cfg.eta_at(it), cfg.eta_reg_at(it),
                     jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0xADF0), it),
                 )
                 jax.block_until_ready(tables[0])
                 elapsed = time.perf_counter() - t0
+                t_rmse = None
                 if test_ds is not None:
-                    t_rmse = rmse(runner.trim(tables), test_ds)
+                    t_rmse = float(rmse(runner.trim(tables), test_ds))
                     log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
                 else:
                     log(f"iter#{it}\t{elapsed:f}")
+                obs.epoch_done(
+                    it,
+                    params_fn=lambda: runner.trim(tables),
+                    extras_fn=lambda: admf_extras(runner.state(tables, state)),
+                    alg="admf", kernel="pallas", eta=cfg.eta_at(it),
+                    elapsed=elapsed, tRMSE=t_rmse,
+                )
             return runner.state(tables, state)
 
     valid = (
@@ -402,7 +606,7 @@ def train_admf(
     base_key = jax.random.PRNGKey(cfg.seed ^ 0xADF0)
 
     t0 = time.perf_counter()
-    for it in range(1, cfg.iters + 1):
+    for it in range(start + 1, cfg.iters + 1):
         kshuf = jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0x7E57), it)
         batches = shuffle(kshuf, *flat)
         state = adreg_epoch(
@@ -415,9 +619,16 @@ def train_admf(
         )
         jax.block_until_ready(state.params.theta)
         elapsed = time.perf_counter() - t0
+        t_rmse = None
         if test_ds is not None:
-            t_rmse = rmse(state.params, test_ds)
+            t_rmse = float(rmse(state.params, test_ds))
             log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
         else:
             log(f"iter#{it}\t{elapsed:f}")
+        obs.epoch_done(
+            it,
+            params_fn=lambda: state.params,
+            extras_fn=lambda: admf_extras(state),
+            alg="admf", eta=cfg.eta_at(it), elapsed=elapsed, tRMSE=t_rmse,
+        )
     return state
