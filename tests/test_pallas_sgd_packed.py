@@ -1,0 +1,135 @@
+"""Lane-packed fused SGD kernel vs. the pure-JAX batched kernel (interpret)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_mf.data.coo import synthetic_ratings
+from tpu_mf.models.mf import init_mf, rmse
+from tpu_mf.ops.pallas_sgd_packed import (
+    PackedEpochRunner,
+    pack_params,
+    packing_factor,
+    prepare_cells_packed,
+    unpack_params,
+)
+from tpu_mf.ops.sgd import sgd_batch_update
+
+
+def replay_plan(params, plan, eta, lam):
+    """Pure-JAX kernel over the packed plan's exact sub-batch sequence."""
+    out = params
+    for i in range(plan.u.shape[0]):
+        for k in range(8):
+            w = plan.w[i][:, k]
+            gu_off = plan.gu[i] * plan.tile_u
+            gv_off = plan.gv[i, k] * plan.tile_v
+            ul = np.where(w > 0, plan.u[i][:, k], 0)
+            vl = np.where(w > 0, plan.v[i][:, k], 0)
+            batch = (
+                jnp.asarray((ul + gu_off * (w > 0)).astype(np.int32)),
+                jnp.asarray((vl + gv_off * (w > 0)).astype(np.int32)),
+                jnp.asarray(plan.r[i][:, k]),
+                jnp.asarray(w),
+            )
+            out = sgd_batch_update(out, batch, jnp.float32(eta), jnp.float32(lam))
+    return out
+
+
+def test_packing_factor():
+    assert packing_factor(8) == 8 and packing_factor(14) == 8
+    assert packing_factor(15) == 4 and packing_factor(30) == 4
+    assert packing_factor(31) == 2 and packing_factor(62) == 2
+    assert packing_factor(63) == 1 and packing_factor(128) == 1
+
+
+def test_packed_plan_covers_all_ratings_and_deltas():
+    ds = synthetic_ratings(300, 200, 5000, seed=0)
+    plan = prepare_cells_packed(
+        ds, tile_u=128, tile_v=128, batch_size=256, seed=1, pack=8
+    )
+    assert int(plan.w.sum()) == len(ds)
+    assert (plan.u[plan.w > 0] < plan.tile_u).all()
+    assert (plan.u[plan.w == 0] == plan.tile_u).all()
+    assert (np.diff(plan.gu) >= 0).all()
+    assert (plan.gd >= 0).all() and (plan.gd < 8).all()
+    # every real slot's delta matches its column's declared delta
+    for b in range(plan.u.shape[0]):
+        for k in range(8):
+            real = plan.w[b, :, k] > 0
+            if real.any():
+                d = (plan.v[b, real, k] - plan.u[b, real, k]) % 8
+                # local ids: (v%tile - u%tile) % P == (v-u) % P for P | tile
+                assert (d == plan.gd[b, k]).all()
+
+
+def test_pack_unpack_roundtrip():
+    ds = synthetic_ratings(300, 200, 1000, seed=3)
+    plan = prepare_cells_packed(
+        ds, tile_u=128, tile_v=128, batch_size=256, seed=1, pack=4
+    )
+    params = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 20, gb=3.0)
+    t, p = pack_params(params, plan)
+    back = unpack_params(t, p, ds.nu, ds.nv, 20, params.gb, 4)
+    np.testing.assert_array_equal(np.asarray(back.theta), np.asarray(params.theta))
+    np.testing.assert_array_equal(np.asarray(back.phi), np.asarray(params.phi))
+    np.testing.assert_array_equal(np.asarray(back.bu), np.asarray(params.bu))
+    np.testing.assert_array_equal(np.asarray(back.bv), np.asarray(params.bv))
+
+
+@pytest.mark.parametrize("dim,pack", [(8, 8), (20, 4), (40, 2)])
+def test_packed_epoch_matches_jax_kernel_interpret(dim, pack):
+    """Interpret-mode packed epoch == pure-JAX kernel over identical batches
+    (fp32 MXU dtype so the comparison is tight)."""
+    ds = synthetic_ratings(300, 200, 4000, rank=3, seed=2)
+    params = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, dim, gb=3.0)
+    eta, lam = 0.05, 0.01
+
+    runner = PackedEpochRunner(
+        ds, tile_u=16 * pack, tile_v=16 * pack, batch=256, seed=3,
+        mxu="float32", interpret=True, theta_groups=8, pack=pack,
+    )
+    tables = runner.pad(params)
+    tables = runner.epoch(tables, eta, lam, float(params.gb))
+    out = runner.trim(tables)
+
+    ref = replay_plan(params, runner.plan, eta, lam)
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(ref.theta), atol=2e-5
+    )
+    np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.bu), np.asarray(ref.bu), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.bv), np.asarray(ref.bv), atol=2e-5)
+
+
+def test_packed_multi_epoch_converges_interpret():
+    ds = synthetic_ratings(200, 100, 8000, rank=3, noise=0.1, seed=4)
+    train, test = ds.split(0.2, seed=5)
+    params = init_mf(jax.random.PRNGKey(1), ds.nu, ds.nv, 8, gb=ds.mean_rating())
+    runner = PackedEpochRunner(
+        train, tile_u=128, tile_v=128, batch=512, seed=6,
+        mxu="float32", interpret=True, dim=8,
+    )
+    tables = runner.pad(params)
+    for it in range(1, 8):
+        tables = runner.epoch(
+            tables, 0.05 / it**0.3, 0.01, float(ds.mean_rating()), epoch_idx=it
+        )
+    out = runner.trim(tables)
+    final = rmse(out, test)
+    assert final < 0.6, f"packed kernel training failed to converge: {final}"
+
+
+def test_packed_plan_delta_classes_columns():
+    """Column k must only carry delta class k % P (static kernel rolls)."""
+    ds = synthetic_ratings(300, 200, 6000, seed=7)
+    for pack in (2, 4, 8):
+        plan = prepare_cells_packed(
+            ds, tile_u=16 * pack, tile_v=16 * pack, batch_size=256,
+            seed=1, pack=pack,
+        )
+        for k in range(8):
+            real = plan.w[:, :, k] > 0
+            d = (plan.v[:, :, k][real] - plan.u[:, :, k][real]) % pack
+            assert (d == k % pack).all(), (pack, k)

@@ -19,60 +19,38 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-from tpu_mf.data.proto import iter_frames, parse_block
-
 
 def stream_batches(
     path: str, batch_size: int
 ) -> Iterator[Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]:
-    """Yield (u, v, r, w) batches by incrementally parsing a block stream.
+    """Yield (u, v, r, w) batches by incrementally parsing any rating file
+    (proto frames / raw / userwise / MovieLens — data/streamfmt.py).
 
     The tail batch is padded with weight-0 slots, like RatingsCOO.to_batches.
     """
-    bu: list = []
-    bv: list = []
-    br: list = []
-    for payload in iter_frames(path):
-        fu, fv, fr = parse_block(payload)
-        bu += fu
-        bv += fv
-        br += fr
-        while len(bu) >= batch_size:
+    from tpu_mf.data.streamfmt import iter_ratings
+
+    for u, v, r in iter_ratings(path, chunk=batch_size):
+        n = len(u)
+        if n == batch_size:
+            yield u, v, r, np.ones(batch_size, np.float32)
+        else:  # tail
+            pad = batch_size - n
             yield (
-                np.asarray(bu[:batch_size], np.int32),
-                np.asarray(bv[:batch_size], np.int32),
-                np.asarray(br[:batch_size], np.float32),
-                np.ones(batch_size, np.float32),
+                np.concatenate([u, np.zeros(pad, np.int32)]),
+                np.concatenate([v, np.zeros(pad, np.int32)]),
+                np.concatenate([r, np.zeros(pad, np.float32)]),
+                np.concatenate(
+                    [np.ones(n, np.float32), np.zeros(pad, np.float32)]
+                ),
             )
-            del bu[:batch_size], bv[:batch_size], br[:batch_size]
-    if bu:
-        n = len(bu)
-        pad = batch_size - n
-        yield (
-            np.concatenate([np.asarray(bu, np.int32), np.zeros(pad, np.int32)]),
-            np.concatenate([np.asarray(bv, np.int32), np.zeros(pad, np.int32)]),
-            np.concatenate([np.asarray(br, np.float32), np.zeros(pad, np.float32)]),
-            np.concatenate([np.ones(n, np.float32), np.zeros(pad, np.float32)]),
-        )
 
 
 def scan_dims(path: str) -> Tuple[int, int, int]:
-    """One cheap pass over an on-disk block stream: (nu, nv, n_ratings).
+    """One bounded-memory pass over any rating file: (nu, nv, n_ratings)."""
+    from tpu_mf.data.streamfmt import scan_stats
 
-    Lets --stream infer table sizes without materializing the dataset in
-    host RAM (the whole point of streaming); only ids are touched, frames
-    are decoded and dropped one at a time.
-    """
-    max_u = -1
-    max_v = -1
-    n = 0
-    for payload in iter_frames(path):
-        fu, fv, _ = parse_block(payload)
-        if fu:
-            max_u = max(max_u, max(fu))
-            max_v = max(max_v, max(fv))
-            n += len(fu)
-    return max_u + 1, max_v + 1, n
+    return scan_stats(path)
 
 
 class Prefetcher:

@@ -11,8 +11,9 @@ getdata.cc:128-173) and the rawToProto*.py scripts. Converts between:
 with shuffling, train/test/valid splitting, and user-grouped block packing
 (``--size`` users per block, reference default 1000: getdata.cc:19). The
 reference's out-of-core shuffle variant (rawToProto_xlarge.py: split into
-chunks, shuffle each, round-robin merge) is subsumed by NumPy's in-memory
-shuffle — 100M ratings fit comfortably in modern host RAM as three arrays.
+chunks, shuffle each, round-robin merge) is ``--mem-limit N`` here
+(tools/xlarge.py): never more than N ratings in host RAM, any input format,
+optional splitting on the fly.
 
 Usage:
     python -m tpu_mf.tools.prepare -r ratings.dat -w train.pb \\
@@ -46,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validation fraction (from the train part)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--no-shuffle", action="store_true")
+    p.add_argument(
+        "--mem-limit", type=int, default=0, metavar="N",
+        help="out-of-core mode: never hold more than N ratings in host RAM "
+             "(chunked shuffle + round-robin merge, reference: "
+             "rawToProto_xlarge.py); 0 = in-memory",
+    )
     return p
 
 
@@ -63,6 +70,22 @@ def _write(path: str, ds, method: str, size: int) -> None:
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from tpu_mf.data.textfmt import read_any
+
+    if args.mem_limit > 0:
+        if args.no_shuffle:
+            print("--mem-limit implies shuffling; drop --no-shuffle",
+                  file=sys.stderr)
+            return 1
+        from tpu_mf.tools.xlarge import xlarge_convert
+
+        counts = xlarge_convert(
+            args.read, args.write, method=args.method,
+            users_per_block=args.size, mem_limit=args.mem_limit,
+            split=args.split, valid=args.valid, seed=args.seed,
+        )
+        print(f"wrote {args.write} parts: {counts} ratings (out-of-core, "
+              f"<= {args.mem_limit} ratings in RAM)")
+        return 0
 
     try:
         ds = read_any(args.read)
