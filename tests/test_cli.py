@@ -107,13 +107,35 @@ def test_cli_mf_stream_mode(data, capsys):
     assert "nan" not in out
 
 def test_cli_stream_guards(data, capsys):
-    # --stream is mf-only and single-chip: fail loudly, never silently ignore.
-    rc = main(base_args(data, "dpmf") + ["--eta", "1e-5", "--stream"])
-    assert rc == 1
-    assert "mf only" in capsys.readouterr().err
+    # --stream is single-chip and cold-start: fail loudly, never silently
+    # ignore other flags.
     rc = main(base_args(data, "mf") + ["--eta", "0.03", "--stream", "--mesh", "2"])
     assert rc == 1
     assert "single-chip" in capsys.readouterr().err
+    rc = main(base_args(data, "mf") + ["--eta", "0.03", "--stream", "--model", "x"])
+    assert rc == 1
+    assert "warm start" in capsys.readouterr().err
+
+
+def test_cli_dpmf_stream_mode(data, capsys):
+    rc = main(
+        base_args(data, "dpmf")
+        + ["--eta", "1e-5", "--temp", "1e-6", "--hyperb", "1000", "--stream"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("round #") == 2
+    assert "nan" not in out
+
+
+def test_cli_admf_stream_mode(data, capsys):
+    rc = main(
+        base_args(data, "admf")
+        + ["--valid", data["valid"], "--eta", "0.05", "--eta_reg", "1e-3",
+           "--stream"]
+    )
+    assert rc == 0
+    assert capsys.readouterr().out.count("tRMSE=") == 2
 
 
 def test_cli_stream_infers_dims_without_loading(data, capsys, monkeypatch):

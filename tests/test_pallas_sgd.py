@@ -56,7 +56,8 @@ def test_pallas_epoch_matches_jax_kernel_interpret():
 
     runner = PallasEpochRunner(
         ds, tile_u=128, tile_v=128, batch=256, seed=3,
-        mxu="float32", interpret=True, theta_groups=8,  # pin: replay is seq8
+        mxu="float32", interpret=True,
+        theta_groups=8, phi_groups=8,  # pin: replay is fully sequential
     )
     tables = runner.pad(params)
     tables = runner.epoch(tables, eta, lam, float(params.gb))

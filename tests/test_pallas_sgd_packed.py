@@ -88,7 +88,8 @@ def test_packed_epoch_matches_jax_kernel_interpret(dim, pack):
 
     runner = PackedEpochRunner(
         ds, tile_u=16 * pack, tile_v=16 * pack, batch=256, seed=3,
-        mxu="float32", interpret=True, theta_groups=8, pack=pack,
+        mxu="float32", interpret=True, theta_groups=8, phi_groups=8,
+        pack=pack,  # both pinned sequential: replay is fully sequential
     )
     tables = runner.pad(params)
     tables = runner.epoch(tables, eta, lam, float(params.gb))
@@ -133,3 +134,65 @@ def test_packed_plan_delta_classes_columns():
             real = plan.w[:, :, k] > 0
             d = (plan.v[:, :, k][real] - plan.u[:, :, k][real]) % pack
             assert (d == k % pack).all(), (pack, k)
+
+
+def test_apply_flags_last_touch():
+    from tpu_mf.ops.pallas_sgd_packed import _apply_flags
+
+    gv = np.array([[0, 1, 0, 2, 1, 1, 3, 0]], np.int32)
+    # groups=1: one window of 8 columns; last touches: col7(0), col5(1),
+    # col3(2), col6(3)
+    f = _apply_flags(gv, 1)
+    assert f.tolist() == [[0, 0, 0, 1, 0, 1, 1, 1]]
+    # groups=4: windows [0,1] [2,3] [4,5] [6,7]; within each, only repeated
+    # tiles defer
+    f = _apply_flags(gv, 4)
+    assert f.tolist() == [[1, 1, 1, 1, 0, 1, 1, 1]]
+    # groups=8 trivially all ones
+    assert (_apply_flags(gv, 8) == 1).all()
+
+
+def test_deferred_apply_matches_sequential_at_tiny_eta():
+    """phi_groups=1 (fully deferred) must track the sequential kernel tightly
+    when the staleness term is negligible, and converge identically."""
+    ds = synthetic_ratings(200, 150, 6000, rank=3, noise=0.1, seed=8)
+    params = init_mf(jax.random.PRNGKey(1), ds.nu, ds.nv, 8, gb=ds.mean_rating())
+    eta, lam = 1e-4, 0.01
+
+    outs = {}
+    for pg in (8, 1):
+        runner = PackedEpochRunner(
+            ds, tile_u=64, tile_v=64, batch=256, seed=9,
+            mxu="float32", interpret=True, theta_groups=8, phi_groups=pg,
+            dim=8,
+        )
+        tables = runner.pad(params)
+        tables = runner.epoch(tables, eta, lam, float(params.gb))
+        outs[pg] = runner.trim(tables)
+    np.testing.assert_allclose(
+        np.asarray(outs[1].phi), np.asarray(outs[8].phi), atol=5e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs[1].theta), np.asarray(outs[8].theta), atol=5e-5
+    )
+
+
+def test_adaptive_phi_groups_convergence():
+    """Adaptive phi_groups engages at small eta and training still converges."""
+    ds = synthetic_ratings(200, 100, 8000, rank=3, noise=0.1, seed=4)
+    train, test = ds.split(0.2, seed=5)
+    runner = PackedEpochRunner(
+        train, tile_u=128, tile_v=128, batch=512, seed=6,
+        mxu="float32", interpret=True, dim=8,
+    )
+    assert runner.pick_phi_groups(1e-5) == 1   # SGLD-scale eta: parallel
+    assert runner.pick_phi_groups(10.0) == 8   # absurd eta: sequential
+    params = init_mf(jax.random.PRNGKey(1), ds.nu, ds.nv, 8, gb=ds.mean_rating())
+    tables = runner.pad(params)
+    for it in range(1, 8):
+        tables = runner.epoch(
+            tables, 0.05 / it**0.3, 0.01, float(ds.mean_rating()), epoch_idx=it
+        )
+    out = runner.trim(tables)
+    final = rmse(out, test)
+    assert final < 0.6, f"adaptive phi-group training failed to converge: {final}"

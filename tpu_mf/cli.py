@@ -113,8 +113,9 @@ def main(argv=None) -> int:
     if args.stream and cfg.mesh > 1:
         print("--stream is single-chip; drop --mesh or --stream", file=sys.stderr)
         return 1
-    if args.stream and cfg.alg != "mf":
-        print("--stream currently supports --alg mf only", file=sys.stderr)
+    if args.stream and cfg.model:
+        print("--stream does not support --model warm starts yet",
+              file=sys.stderr)
         return 1
 
     # Heavy imports deferred so --help is instant.
@@ -166,26 +167,11 @@ def main(argv=None) -> int:
             params0, lam = load_mf_binary(cfg.model, gb=cfg.gb)
             cfg = dataclasses.replace(cfg, lam=lam)
         if args.stream:
-            import time as _time
+            from tpu_mf.train.loop import train_mf_stream
 
-            import jax
-            from tpu_mf.models.mf import init_mf, rmse as _rmse
-            from tpu_mf.io.stream import streaming_sgd_epoch
-
-            params = params0 or init_mf(
-                jax.random.PRNGKey(cfg.seed), nu, nv, cfg.dim, gb=cfg.gb,
+            params = train_mf_stream(
+                cfg, cfg.train, test_ds=test_ds, params=params0, nu=nu, nv=nv
             )
-            t0 = _time.perf_counter()
-            for it in range(1, cfg.iters + 1):
-                params, _n = streaming_sgd_epoch(
-                    params, cfg.train, cfg.eta_at(it), cfg.lam,
-                    batch_size=cfg.batch_size, fly=cfg.fly,
-                )
-                elapsed = _time.perf_counter() - t0
-                if test_ds is not None:
-                    print(f"iter#{it}\t{elapsed:f}\ttRMSE={_rmse(params, test_ds):f}")
-                else:
-                    print(f"iter#{it}\t{elapsed:f}")
         else:
             params = train_mf(cfg, train_ds, test_ds=test_ds, params=params0)
         report_ranking(params)
@@ -225,9 +211,16 @@ def main(argv=None) -> int:
                     np.asarray(state.lambda_v),
                 )
 
-        state = train_dpmf(
-            cfg, train_ds, test_ds=test_ds, state=state0, save_fn=save_fn
-        )
+        if args.stream:
+            from tpu_mf.train.loop import train_dpmf_stream
+
+            state = train_dpmf_stream(
+                cfg, cfg.train, test_ds=test_ds, save_fn=save_fn
+            )
+        else:
+            state = train_dpmf(
+                cfg, train_ds, test_ds=test_ds, state=state0, save_fn=save_fn
+            )
         report_ranking(state.params)
         if cfg.result:
             save_fn(state, cfg.iters)
@@ -235,8 +228,13 @@ def main(argv=None) -> int:
         if not cfg.valid:
             print("admf requires --valid", file=sys.stderr)
             return 1
-        valid_ds = read_any(cfg.valid, nu=train_ds.nu, nv=train_ds.nv)
-        state = train_admf(cfg, train_ds, valid_ds, test_ds=test_ds)
+        valid_ds = read_any(cfg.valid, nu=nu, nv=nv)
+        if args.stream:
+            from tpu_mf.train.loop import train_admf_stream
+
+            state = train_admf_stream(cfg, cfg.train, valid_ds, test_ds=test_ds)
+        else:
+            state = train_admf(cfg, train_ds, valid_ds, test_ds=test_ds)
         report_ranking(state.params)
         if cfg.result:
             save_mf_binary(f"{cfg.result}_{cfg.iters}", state.params, float(state.lam_u))

@@ -135,3 +135,31 @@ def scan_stats(path: str, chunk: int = 1 << 18) -> Tuple[int, int, int]:
             max_v = max(max_v, int(v.max()))
             n += len(u)
     return max_u + 1, max_v + 1, n
+
+
+def scan_profile(path: str, chunk: int = 1 << 18):
+    """One bounded-memory pass: (nu, nv, n, user_counts, item_counts, rsum).
+
+    The counts/mean are what the DPMF initializer needs (inverse-frequency
+    weights, reference: model.cc:263-297) without materializing the file.
+    """
+    max_u = -1
+    max_v = -1
+    n = 0
+    rsum = 0.0
+    uc = np.zeros(0, np.int64)
+    vc = np.zeros(0, np.int64)
+    for u, v, r in iter_ratings(path, chunk):
+        if not len(u):
+            continue
+        max_u = max(max_u, int(u.max()))
+        max_v = max(max_v, int(v.max()))
+        n += len(u)
+        rsum += float(r.sum())
+        if len(uc) <= max_u:
+            uc = np.concatenate([uc, np.zeros(max_u + 1 - len(uc), np.int64)])
+        if len(vc) <= max_v:
+            vc = np.concatenate([vc, np.zeros(max_v + 1 - len(vc), np.int64)])
+        np.add.at(uc, u, 1)
+        np.add.at(vc, v, 1)
+    return max_u + 1, max_v + 1, n, uc, vc, rsum

@@ -122,6 +122,88 @@ class Prefetcher:
         return item
 
 
+def streaming_batches(path: str, batch_size: int, fly: int = 8):
+    """Prefetched device-staged (u, v, r, w) batches from an on-disk stream,
+    with a host-side real-rating counter (reads counter after exhaustion)."""
+    counts = {"n": 0}
+
+    def counted(src):
+        for b in src:
+            counts["n"] += int(b[3].sum())
+            yield b
+
+    return Prefetcher(counted(stream_batches(path, batch_size)), fly=fly), counts
+
+
+def streaming_sgld_round(
+    state, path: str, hyper, key, batch_size: int = 8192, fly: int = 8
+):
+    """One DP-SGLD round over an on-disk stream (reference: the TBB pipeline
+    feeding DPMF, src/dpmf.h:6-34) — out-of-core dpmf training."""
+    import jax
+
+    from tpu_mf.ops.sgld import sgld_batch_update
+
+    step = jax.jit(sgld_batch_update, donate_argnums=(0,))
+    pf, counts = streaming_batches(path, batch_size, fly)
+    try:
+        for i, batch in enumerate(pf):
+            state = step(state, batch, hyper, jax.random.fold_in(key, i))
+    finally:
+        pf.close()
+    return state, counts["n"]
+
+
+def streaming_adreg_epoch(
+    state, path: str, valid, hyper, key, batch_size: int = 8192, fly: int = 8
+):
+    """One AdaptReg epoch over an on-disk stream (reference: src/admf.h:6-46)
+    — out-of-core admf training. ``hyper`` is an ops.adreg.AdRegHyper."""
+    import jax
+
+    from tpu_mf.ops.adreg import adreg_batch_update
+
+    # hyper.loss is a static Python int (branches in _activate); close over
+    # hyper/valid so jit sees them as constants, not traced operands.
+    step = jax.jit(
+        lambda s, batch, k: adreg_batch_update(s, batch, valid, hyper, k),
+        donate_argnums=(0,),
+    )
+    pf, counts = streaming_batches(path, batch_size, fly)
+    try:
+        for i, batch in enumerate(pf):
+            state = step(state, batch, jax.random.fold_in(key, i))
+    finally:
+        pf.close()
+    return state, counts["n"]
+
+
+def streaming_mse(params, path: str, batch_size: int = 1 << 16, fly: int = 8):
+    """Weighted train MSE over an on-disk stream (drives the Gibbs SSE for
+    streamed dpmf; in-memory path: models/mf.calc_mse)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_mf.models.mf import predict
+
+    @jax.jit
+    def chunk_sse(params, u, v, r, w):
+        e = (r - predict(params, u, v)) * w
+        return jnp.sum(e * e), jnp.sum(w)
+
+    sse = 0.0
+    n = 0.0
+    pf, _ = streaming_batches(path, batch_size, fly)
+    try:
+        for u, v, r, w in pf:
+            s, c = chunk_sse(params, u, v, r, w)
+            sse += float(s)
+            n += float(c)
+    finally:
+        pf.close()
+    return sse / max(n, 1.0)
+
+
 def streaming_sgd_epoch(params, path: str, eta, lam, batch_size: int = 8192, fly: int = 8):
     """One SGD pass over an on-disk block stream without loading it in RAM.
 

@@ -176,19 +176,23 @@ def split_params(
     )
 
 
+UV_SHIFT = 11          # packed id stream: u << 11 | v; tiles must be <= 1024
+UV_BASE = 1 << UV_SHIFT
+
+
 def _epoch_kernel(
     # scalar prefetch
-    gu_ref, gv_ref, hyper_ref,
-    # blocked inputs
-    u_ref, v_ref, ut_ref, vt_ref, r_ref, w_ref, theta_ref,
+    gu_ref, gv_ref, ap_ref, hyper_ref,
+    # blocked inputs (uv = u*2048+v packed ids; uvt = host-transposed copy)
+    uv_ref, uvt_ref, r_ref, theta_ref,
     # HBM-resident input (aliased with the resident output)
     phi_hbm,
     # outputs
     theta_out, phi_out,
     # scratch
-    sem,
+    acc, sem,
     *, tile_u: int, tile_v: int, batch: int, dim: int, lanes: int, mxu_dtype,
-    theta_groups: int = 8,
+    theta_groups: int = 8, phi_groups: int = 8,
 ):
     eta = hyper_ref[0]
     lam = hyper_ref[1]
@@ -204,6 +208,8 @@ def _epoch_kernel(
         cp = pltpu.make_async_copy(phi_hbm, phi_out, sem)
         cp.start()
         cp.wait()
+        if phi_groups < 8:
+            acc[:] = jnp.zeros_like(acc)
 
     # User table: state lives in the out ref (persists across same-index
     # steps); seeded from the in ref at each tile-run start. A tile is never
@@ -213,12 +219,18 @@ def _epoch_kernel(
         theta_out[:] = theta_ref[:]
 
     sub = batch // 8
-    u3 = u_ref[0]    # (B/8, 8) tile-local ids; == tile for padded slots
-    v3 = v_ref[0]
-    ut3 = ut_ref[0]  # (8, B/8) host-transposed copies: ut3[k, i] == u3[i, k]
-    vt3 = vt_ref[0]
+    # Packed ids: u in bits 11+, v in bits 0-10 (tile-local, sentinel = tile
+    # size). One int32 stream instead of four id streams and a weight stream
+    # — the (sub, 8)-minor blocks DMA strided (8 -> 128 lane padding), so
+    # stream COUNT dominates the per-step floor.
+    uv3 = uv_ref[0]   # (B/8, 8)
+    uvt3 = uvt_ref[0]  # (8, B/8) host-transposed: uvt3[k, i] == uv3[i, k]
+    u3 = uv3 >> UV_SHIFT
+    v3 = uv3 & (UV_BASE - 1)
+    ut3 = uvt3 >> UV_SHIFT
+    vt3 = uvt3 & (UV_BASE - 1)
     r3 = r_ref[0]
-    w3 = w_ref[0]
+    w3 = (uv3 != tile_u * UV_BASE + tile_v).astype(jnp.float32)
 
     theta = theta_out[:]                   # (TILE_U, lanes) fp32 state
 
@@ -236,66 +248,86 @@ def _epoch_kernel(
     lameta = 1.0 - eta * lam
     ln_lameta = jnp.log(lameta)  # lameta > 0 for any sane config
 
-    # The ITEM side applies fully sequentially (items carry the popularity
-    # skew: accumulating k stale gradients on a hot row overshoots when
-    # k*eta*|t|^2 > 2). The USER side applies in `theta_groups` groups of
-    # 8/theta_groups columns: within a group all columns gather from the same
-    # theta state and their deltas accumulate (users are the flat side, so
-    # within-group duplicate counts stay small); the runner picks the group
-    # count per epoch from the plan's measured duplicate statistics and eta.
-    # Each column carries its own item tile, sliced from the resident phi.
-    per_group = 8 // theta_groups
-    for g in range(theta_groups):
-        theta_mx = theta.astype(mxu_dtype)
-        d_theta_g = jnp.zeros((tile_u, lanes), jnp.float32)
-        for k in range(g * per_group, (g + 1) * per_group):
-            off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
-            phi = phi_out[pl.ds(off, tile_v), :]   # (TILE_V, lanes) view
-            phi_mx = phi.astype(mxu_dtype)
-            # One-hot encodings (exact in bf16: entries are 0/1). Gather side
-            # is (B/8, TILE); scatter side is built pre-transposed as
-            # (TILE, B/8) from the host-transposed ids, so every matmul
-            # contracts over the lhs lane axis — Mosaic never transposes a
-            # one-hot.
-            oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
-            oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
-            oht_u = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
-            oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
+    # BOTH sides apply in adaptive groups, each gated by the plan's measured
+    # within-window duplicate statistics and eta (staleness of k accumulated
+    # gradients on one row ~ k*eta*|row|^2; see pick_theta_groups /
+    # pick_phi_groups). The USER side accumulates per theta group in
+    # registers; the ITEM side (popularity-skewed, tiles vary per column)
+    # defers into a phi-shaped VMEM scratch and applies each tile at its
+    # LAST touching column of the phi group (host-computed ap flag) — so the
+    # heavy per-column work is independent within a group instead of
+    # serialized through the phi read-update-write chain.
+    tg_w = 8 // theta_groups
+    pg_w = 8 // phi_groups
+    theta_mx = None
+    d_theta_g = None
+    pending = []
+    for k in range(8):
+        if k % tg_w == 0:
+            theta_mx = theta.astype(mxu_dtype)
+            d_theta_g = jnp.zeros((tile_u, lanes), jnp.float32)
 
-            # Fused gathers: factors and bias in one MXU pass per side.
-            t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
-            p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
+        off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
+        phi = phi_out[pl.ds(off, tile_v), :]   # (TILE_V, lanes) view
+        phi_mx = phi.astype(mxu_dtype)
+        # One-hot encodings (exact in bf16: entries are 0/1). Gather side
+        # is (B/8, TILE); scatter side is built pre-transposed as
+        # (TILE, B/8) from the host-transposed ids, so every matmul
+        # contracts over the lhs lane axis — Mosaic never transposes a
+        # one-hot.
+        oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
+        oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
+        oht_u = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
+        oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
 
-            # pred = t.p + bu + bv + gb, via lane masks:
-            # rowsum(t*(p*m_fac + m_bias)) = t.p + bu; rowsum(p*m_bias) = bv.
-            q = p * m_fac + m_bias
-            pred = (
-                jnp.sum(t * q, axis=1, keepdims=True)
-                + jnp.sum(p * m_bias, axis=1, keepdims=True)
-                + gb
-            )
-            wk = w3[:, k : k + 1]
-            err = (eta * wk) * (r3[:, k : k + 1] - pred)  # (B/8, 1)
+        # Fused gathers: factors and bias in one MXU pass per side.
+        t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
+        p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
 
-            # Fused scatters: rhs lanes carry [err*p_fac | err | w], so one
-            # MXU pass per side yields factor deltas, bias delta, and touch
-            # counts.
-            rhs_u = (err * q + wk * m_cnt).astype(mxu_dtype)
-            rhs_v = (err * (t * m_fac + m_bias) + wk * m_cnt).astype(mxu_dtype)
-            d_theta_g += jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
-            d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+        # pred = t.p + bu + bv + gb, via lane masks:
+        # rowsum(t*(p*m_fac + m_bias) + p*m_bias) = t.p + bu + bv.
+        q = p * m_fac + m_bias
+        pred = jnp.sum(t * q + p * m_bias, axis=1, keepdims=True) + gb
+        wk = w3[:, k : k + 1]
+        err = (eta * wk) * (r3[:, k : k + 1] - pred)  # (B/8, 1)
 
-            # Item tile: geometric per-occurrence decay (ops/common.py
-            # semantics; counts came through the scratch lane) applied NOW so
-            # the next column sees this one's item updates.
+        # Fused scatters: rhs lanes carry [err*p_fac | err | w], so one
+        # MXU pass per side yields factor deltas, bias delta, and touch
+        # counts.
+        rhs_u = (err * q + wk * m_cnt).astype(mxu_dtype)
+        rhs_v = (err * (t * m_fac + m_bias) + wk * m_cnt).astype(mxu_dtype)
+        d_theta_g += jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
+        d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+
+        if phi_groups == 8:
+            # Fully sequential item side: geometric per-occurrence decay
+            # (ops/common.py semantics; counts came through the scratch
+            # lane) applied NOW so the next column sees this one's updates.
             k_v = jnp.sum(d_phi * m_cnt, axis=1, keepdims=True)
             phi_out[pl.ds(off, tile_v), :] = (
                 phi * jnp.exp(k_v * ln_lameta) + d_phi * m_keep
             )
+        else:
+            pending.append((k, off, phi, d_phi))
+            if k % pg_w == pg_w - 1:
+                for kk, off_, phi_, dphi_ in pending:
+                    acc[pl.ds(off_, tile_v), :] += dphi_
 
-        # User tile: apply the group's accumulated deltas and decay.
-        k_u = jnp.sum(d_theta_g * m_cnt, axis=1, keepdims=True)  # (TILE_U, 1)
-        theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * m_keep
+                    @pl.when(ap_ref[8 * i + kk] == 1)
+                    def _(off_=off_, phi_=phi_):
+                        a = acc[pl.ds(off_, tile_v), :]
+                        k_v = jnp.sum(a * m_cnt, axis=1, keepdims=True)
+                        phi_out[pl.ds(off_, tile_v), :] = (
+                            phi_ * jnp.exp(k_v * ln_lameta) + a * m_keep
+                        )
+                        acc[pl.ds(off_, tile_v), :] = jnp.zeros_like(a)
+
+                pending = []
+
+        if k % tg_w == tg_w - 1:
+            # User tile: apply the group's accumulated deltas and decay.
+            k_u = jnp.sum(d_theta_g * m_cnt, axis=1, keepdims=True)
+            theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * m_keep
 
     theta_out[:] = theta
 
@@ -305,45 +337,57 @@ def _epoch_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu",
-        "interpret", "theta_groups",
+        "interpret", "theta_groups", "phi_groups",
     ),
 )
 def _run_epoch(
     theta_ext, phi_ext,
-    gu, gv, u, v, ut, vt, r, w, hyper,
+    gu, gv, uv, uvt, r, hyper, ap=None,
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
-    theta_groups=8,
+    theta_groups=8, phi_groups=8,
 ):
     assert theta_groups in (1, 2, 4, 8), (
         f"theta_groups must divide the 8 lane columns, got {theta_groups}"
     )
-    nb = u.shape[0]
+    assert phi_groups in (1, 2, 4, 8), phi_groups
+    assert max(tile_u, tile_v) < UV_BASE, (
+        f"packed id streams need tiles < {UV_BASE}, got {tile_u}/{tile_v}"
+    )
+    nb = uv.shape[0]
     gv = gv.reshape(-1)  # (nb*8,) per-column item-tile indices
+    if ap is None:  # apply flags unused when phi_groups == 8
+        ap = jnp.ones((nb * 8,), jnp.int32)
+    ap = ap.reshape(-1)
     lanes = row_lanes(dim)
     kernel = functools.partial(
         _epoch_kernel,
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, lanes=lanes,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
+        phi_groups=phi_groups,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # gu, gv, hyper
+        num_scalar_prefetch=4,  # gu, gv, ap, hyper
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # u
-            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # v
-            pl.BlockSpec((1, 8, sub), lambda i, gu, gv, h: (i, 0, 0)),   # ut
-            pl.BlockSpec((1, 8, sub), lambda i, gu, gv, h: (i, 0, 0)),   # vt
-            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # r
-            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # w
-            pl.BlockSpec((tile_u, lanes), lambda i, gu, gv, h: (gu[i], 0)),  # theta
-            pl.BlockSpec(memory_space=pl.ANY),                               # phi (HBM)
+            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, ap, h: (i, 0, 0)),  # uv
+            pl.BlockSpec((1, 8, sub), lambda i, gu, gv, ap, h: (i, 0, 0)),  # uvt
+            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, ap, h: (i, 0, 0)),  # r
+            pl.BlockSpec(
+                (tile_u, lanes), lambda i, gu, gv, ap, h: (gu[i], 0)
+            ),                                                              # theta
+            pl.BlockSpec(memory_space=pl.ANY),                              # phi (HBM)
         ],
         out_specs=[
-            pl.BlockSpec((tile_u, lanes), lambda i, gu, gv, h: (gu[i], 0)),
-            pl.BlockSpec((n_gv * tile_v, lanes), lambda i, gu, gv, h: (0, 0)),
+            pl.BlockSpec((tile_u, lanes), lambda i, gu, gv, ap, h: (gu[i], 0)),
+            pl.BlockSpec(
+                (n_gv * tile_v, lanes), lambda i, gu, gv, ap, h: (0, 0)
+            ),
         ],
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=[
+            pltpu.VMEM((n_gv * tile_v, lanes), jnp.float32),  # deferred acc
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     theta_ext, phi_ext = pl.pallas_call(
         kernel,
@@ -352,17 +396,30 @@ def _run_epoch(
             jax.ShapeDtypeStruct((n_gu * tile_u, lanes), jnp.float32),
             jax.ShapeDtypeStruct((n_gv * tile_v, lanes), jnp.float32),
         ],
-        # operand indices include the 3 scalar-prefetch args: theta=9,
-        # phi=10 -> outputs 0, 1.
+        # operand indices include the 4 scalar-prefetch args: theta=7,
+        # phi=8 -> outputs 0, 1.
         # v5e has 128 MB of VMEM; the compiler's default 16 MB scoped limit
         # is too tight for the resident item table + unrolled temporaries.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        input_output_aliases={9: 0, 10: 1},
+        input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
-    )(gu, gv, hyper, u, v, ut, vt, r, w, theta_ext, phi_ext)
+    )(gu, gv, ap, hyper, uv, uvt, r, theta_ext, phi_ext)
     return theta_ext, phi_ext
+
+
+def _apply_flags(gv: np.ndarray, groups: int) -> np.ndarray:
+    """1 where column k is the LAST column of its phi group touching its
+    item tile (the deferred-apply point in the kernel); (NB, 8) int32."""
+    w = 8 // groups
+    flags = np.ones_like(gv, np.int32)
+    for g0 in range(groups):
+        cols = gv[:, g0 * w : (g0 + 1) * w]
+        for j in range(w - 1):
+            later = (cols[:, j + 1 :] == cols[:, j : j + 1]).any(1)
+            flags[:, g0 * w + j] = (~later).astype(np.int32)
+    return flags
 
 
 class PallasEpochRunner:
@@ -378,6 +435,7 @@ class PallasEpochRunner:
         mxu: str = "bfloat16",
         interpret: bool = False,
         theta_groups=None,
+        phi_groups=None,
         n_plans: int = 1,
     ):
         batch = cdiv(batch, 8) * 8
@@ -399,30 +457,39 @@ class PallasEpochRunner:
             assert theta_groups in (1, 2, 4, 8), (
                 f"theta_groups must divide the 8 lane columns, got {theta_groups}"
             )
+        if phi_groups is not None:
+            assert phi_groups in (1, 2, 4, 8), phi_groups
         self.theta_groups = theta_groups
+        self.phi_groups = phi_groups
         # Elementwise max over ALL plans: epoch() rotates plans, and each
         # independent shuffle has its own within-window duplicate profile —
         # the staleness guard must hold for every plan it can pick.
         self._dup_max = None
+        self._vdup_max = None
         if theta_groups is None:
-            stats = [_user_dup_stats(p) for p in self.plans]
+            stats = [_dup_stats(p.u, p.tile_u) for p in self.plans]
             self._dup_max = {
                 g: max(s[g] for s in stats) for g in (1, 2, 4, 8)
             }
+        if phi_groups is None:
+            stats = [_dup_stats(p.v, p.tile_v) for p in self.plans]
+            self._vdup_max = {
+                g: max(s[g] for s in stats) for g in (1, 2, 4, 8)
+            }
         self.devs = []
+        self.flags = []  # per plan: {phi_groups: (NB, 8) apply flags}
         for plan in self.plans:
-            u = plan.u
-            v = plan.v
+            uv = plan.u * UV_BASE + plan.v  # one id stream (see kernel doc)
             self.devs.append((
                 jnp.asarray(plan.gu),
                 jnp.asarray(plan.gv),
-                jnp.asarray(u),
-                jnp.asarray(v),
-                jnp.asarray(np.swapaxes(u, 1, 2).copy()),
-                jnp.asarray(np.swapaxes(v, 1, 2).copy()),
+                jnp.asarray(uv),
+                jnp.asarray(np.swapaxes(uv, 1, 2).copy()),
                 jnp.asarray(plan.r),
-                jnp.asarray(plan.w),
             ))
+            self.flags.append({
+                g: jnp.asarray(_apply_flags(plan.gv, g)) for g in (1, 2, 4)
+            } | {8: jnp.ones_like(jnp.asarray(plan.gv))})
         self.dev = self.devs[0]
 
     @property
@@ -443,20 +510,32 @@ class PallasEpochRunner:
                 return g
         return 8
 
+    def pick_phi_groups(self, eta: float) -> int:
+        """Item-side analogue of pick_theta_groups (deferred-apply window)."""
+        if self.phi_groups is not None:
+            return self.phi_groups
+        for g in (1, 2, 4, 8):
+            if eta * self._vdup_max[g] <= 0.2:
+                return g
+        return 8
+
     def epoch(self, tables, eta: float, lam: float, gb: float,
               epoch_idx: int = 0):
         """tables = (theta_ext, phi_ext) in the fused layout; epoch_idx
         rotates between the shuffled plans when n_plans > 1."""
         hyper = jnp.asarray([eta, lam, gb], jnp.float32)
         plan_i = epoch_idx % len(self.plans)
+        pg = self.pick_phi_groups(eta)
         # plans share tile geometry, so n_gu/n_gv/NB may differ only in NB —
         # each distinct NB compiles once and is cached thereafter.
         return _run_epoch(
             tables[0], tables[1], *self.devs[plan_i], hyper,
+            self.flags[plan_i][pg],
             tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
             dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
+            phi_groups=pg,
         )
 
     def pad(self, params: MFParams):
@@ -471,18 +550,24 @@ class PallasEpochRunner:
 
 
 def _user_dup_stats(plan: CellPlan) -> dict:
-    """max within-window user duplicate count, per theta_groups choice.
+    """max within-window user duplicate count, per theta_groups choice."""
+    return _dup_stats(plan.u, plan.tile_u)
 
-    Window for theta_groups=g spans 8//g lane columns of B/8 slots each.
-    Vectorized (one keyed bincount per batch chunk) so plan build stays
-    seconds at Netflix/Yahoo scale; chunked over batches to bound memory.
+
+def _dup_stats(ids: np.ndarray, sentinel: int) -> dict:
+    """max within-window duplicate count of any id, per group choice g.
+
+    ids is (NB, B/8, 8) with padded slots carrying ``sentinel``; the window
+    for groups=g spans 8//g lane columns of B/8 slots each. Drives the
+    adaptive staleness guards (theta_groups / phi_groups). Vectorized (one
+    keyed bincount per batch chunk) so plan build stays seconds at
+    Netflix/Yahoo scale; chunked over batches to bound memory.
     """
-    nb, sub, _ = plan.u.shape
-    sentinel = plan.tile_u
+    nb, sub, _ = ids.shape
     out = {g: 0 for g in (1, 2, 4, 8)}
     chunk = max(1, (1 << 23) // (8 * sentinel))  # ~64 MB of int64 counts
     for s0 in range(0, nb, chunk):
-        u = plan.u[s0 : s0 + chunk]
+        u = ids[s0 : s0 + chunk]
         cb = u.shape[0]
         c_idx = np.broadcast_to(np.arange(8, dtype=np.int64), u.shape)
         b_idx = np.broadcast_to(

@@ -44,11 +44,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.mf import MFParams
-from tpu_mf.ops.pallas_sgd import LANES, _user_dup_stats, cdiv
-
-
-UV_SHIFT = 11          # packed id = u << 11 | v; tiles must be <= 1024
-UV_BASE = 1 << UV_SHIFT
+from tpu_mf.ops.pallas_sgd import (
+    LANES,
+    UV_BASE,
+    UV_SHIFT,
+    _apply_flags,
+    _dup_stats,
+    cdiv,
+)
 
 
 def packing_factor(dim: int) -> int:
@@ -202,7 +205,7 @@ def unpack_params(
 
 def _packed_epoch_kernel(
     # scalar prefetch
-    gu_ref, gv_ref, hyper_ref,
+    gu_ref, gv_ref, ap_ref, hyper_ref,
     # blocked inputs (uv = u*2048+v packed ids; uvt = host-transposed copy)
     uv_ref, uvt_ref, r_ref, theta_ref,
     # HBM-resident input (aliased with the resident output)
@@ -210,9 +213,9 @@ def _packed_epoch_kernel(
     # outputs
     theta_out, phi_out,
     # scratch
-    sem,
+    acc, sem,
     *, tile_u: int, tile_v: int, batch: int, dim: int, pack: int,
-    mxu_dtype, theta_groups: int = 8,
+    mxu_dtype, theta_groups: int = 8, phi_groups: int = 8,
 ):
     P = pack
     m = LANES // P
@@ -232,6 +235,8 @@ def _packed_epoch_kernel(
         cp = pltpu.make_async_copy(phi_hbm, phi_out, sem)
         cp.start()
         cp.wait()
+        if phi_groups < 8:
+            acc[:] = jnp.zeros_like(acc)
 
     @pl.when(new_gu)
     def _():
@@ -274,59 +279,93 @@ def _packed_epoch_kernel(
     lameta = 1.0 - eta * lam
     ln_lameta = jnp.log(lameta)
 
-    per_group = 8 // theta_groups
-    for g in range(theta_groups):
-        theta_mx = theta.astype(mxu_dtype)
-        d_theta_g = jnp.zeros((rows_u, LANES), jnp.float32)
-        for k in range(g * per_group, (g + 1) * per_group):
-            off = pl.multiple_of(gv_ref[8 * i + k] * rows_v, rows_v)
-            # Column k carries delta class k % P by plan construction, so
-            # the alignment rolls below are compile-time static.
-            delta = k % P
-            phi = phi_out[pl.ds(off, rows_v), :]
-            phi_mx = phi.astype(mxu_dtype)
-            uk = u3[:, k : k + 1]
-            # One-hots over PACKED rows (id >> lgP); padded slots carry the
-            # tile_u/tile_v sentinel whose packed row is out of iota range.
-            oh_u = (iota_u == (uk >> lgP)).astype(mxu_dtype)
-            oh_v = (iota_v == (v3[:, k : k + 1] >> lgP)).astype(mxu_dtype)
-            oht_u = (iota_ut == (ut3[k : k + 1, :] >> lgP)).astype(mxu_dtype)
-            oht_v = (iota_vt == (vt3[k : k + 1, :] >> lgP)).astype(mxu_dtype)
+    tg_w = 8 // theta_groups  # columns per user-side group
+    pg_w = 8 // phi_groups    # columns per item-side (deferred-apply) group
+    theta_mx = None
+    d_theta_g = None
+    pending = []  # deferred (k, off, phi, d_phi) awaiting group flush
+    for k in range(8):
+        if k % tg_w == 0:
+            # user-side group start: refresh the gather view, reset deltas
+            theta_mx = theta.astype(mxu_dtype)
+            d_theta_g = jnp.zeros((rows_u, LANES), jnp.float32)
 
-            t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
-            p0 = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
-            # align item slot sv onto user slot su: roll by -delta*m lanes
-            p = pltpu.roll(p0, ((P - delta) % P) * m, 1) if delta else p0
+        off = pl.multiple_of(gv_ref[8 * i + k] * rows_v, rows_v)
+        # Column k carries delta class k % P by plan construction, so the
+        # alignment rolls below are compile-time static.
+        delta = k % P
+        phi = phi_out[pl.ds(off, rows_v), :]
+        phi_mx = phi.astype(mxu_dtype)
+        uk = u3[:, k : k + 1]
+        # One-hots over PACKED rows (id >> lgP); padded slots carry the
+        # tile_u/tile_v sentinel whose packed row is out of iota range.
+        oh_u = (iota_u == (uk >> lgP)).astype(mxu_dtype)
+        oh_v = (iota_v == (v3[:, k : k + 1] >> lgP)).astype(mxu_dtype)
+        oht_u = (iota_ut == (ut3[k : k + 1, :] >> lgP)).astype(mxu_dtype)
+        oht_v = (iota_vt == (vt3[k : k + 1, :] >> lgP)).astype(mxu_dtype)
 
-            # Select the user's slot; other slots hold other rows' data.
-            msk = (slot_lane == (uk & (P - 1))).astype(jnp.float32)
-            q = (p * m_fac + m_bias) * msk
-            pred = (
-                jnp.sum(t * q, axis=1, keepdims=True)
-                + jnp.sum(p * (m_bias * msk), axis=1, keepdims=True)
-                + gb
-            )
-            wk = w3[:, k : k + 1]
-            err = (eta * wk) * (r3[:, k : k + 1] - pred)
+        t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
+        p0 = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
+        # align item slot sv onto user slot su: roll by -delta*m lanes
+        p = pltpu.roll(p0, ((P - delta) % P) * m, 1) if delta else p0
 
-            cnt = wk * (m_cnt * msk)
-            rhs_u = (err * q + cnt).astype(mxu_dtype)
-            rhs_v0 = err * ((t * m_fac + m_bias) * msk) + cnt
-            rhs_v = (
-                pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
-            ).astype(mxu_dtype)
-            d_theta_g += jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
-            d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+        # Select the user's slot; other slots hold other rows' data.
+        msk = (slot_lane == (uk & (P - 1))).astype(jnp.float32)
+        q = (p * m_fac + m_bias) * msk
+        pred = (
+            jnp.sum(t * q + p * (m_bias * msk), axis=1, keepdims=True) + gb
+        )
+        wk = w3[:, k : k + 1]
+        err = (eta * wk) * (r3[:, k : k + 1] - pred)
 
-            # Geometric per-occurrence decay per (row, slot), counts broadcast
-            # to their slot's lanes via CB (ops/common.py semantics).
+        cnt = wk * (m_cnt * msk)
+        rhs_u = (err * q + cnt).astype(mxu_dtype)
+        rhs_v0 = err * ((t * m_fac + m_bias) * msk) + cnt
+        rhs_v = (
+            pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
+        ).astype(mxu_dtype)
+        d_theta_g += jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
+        d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+
+        if phi_groups == 8:
+            # Fully sequential item side: apply NOW so the next column sees
+            # this one's updates. Geometric per-occurrence decay per
+            # (row, slot); counts broadcast to their slot's lanes via CB
+            # (ops/common.py semantics).
             k_v = jnp.dot(d_phi, CB, preferred_element_type=jnp.float32)
             phi_out[pl.ds(off, rows_v), :] = (
                 phi * jnp.exp(k_v * ln_lameta) + d_phi * m_keep
             )
+        else:
+            # Deferred item apply: all columns of a phi group gather from
+            # STABLE phi state and their heavy work (one-hots, matmuls,
+            # elementwise) is fully independent — the serializing accesses
+            # (scratch accumulate, decay+apply at each tile's LAST touching
+            # column, flagged host-side) are hoisted into a short flush loop
+            # at the group boundary. The runner picks phi_groups from the
+            # plan's item-duplicate statistics so accumulated staleness stays
+            # within the same envelope the user side already uses.
+            pending.append((k, off, phi, d_phi))
+            if k % pg_w == pg_w - 1:
+                for kk, off_, phi_, dphi_ in pending:
+                    acc[pl.ds(off_, rows_v), :] += dphi_
 
-        k_u = jnp.dot(d_theta_g, CB, preferred_element_type=jnp.float32)
-        theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * m_keep
+                    @pl.when(ap_ref[8 * i + kk] == 1)
+                    def _(off_=off_, phi_=phi_):
+                        a = acc[pl.ds(off_, rows_v), :]
+                        k_v = jnp.dot(
+                            a, CB, preferred_element_type=jnp.float32
+                        )
+                        phi_out[pl.ds(off_, rows_v), :] = (
+                            phi_ * jnp.exp(k_v * ln_lameta) + a * m_keep
+                        )
+                        acc[pl.ds(off_, rows_v), :] = jnp.zeros_like(a)
+
+                pending = []
+
+        if k % tg_w == tg_w - 1:
+            k_u = jnp.dot(d_theta_g, CB, preferred_element_type=jnp.float32)
+            theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * m_keep
 
     theta_out[:] = theta
 
@@ -336,41 +375,51 @@ def _packed_epoch_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "pack", "n_gu", "n_gv", "mxu",
-        "interpret", "theta_groups",
+        "interpret", "theta_groups", "phi_groups",
     ),
 )
 def _run_packed_epoch(
     theta_p, phi_p,
-    gu, gv, uv, uvt, r, hyper,
+    gu, gv, ap, uv, uvt, r, hyper,
     *, tile_u, tile_v, batch, dim, pack, n_gu, n_gv, mxu="bfloat16",
-    interpret=False, theta_groups=8,
+    interpret=False, theta_groups=8, phi_groups=8,
 ):
     assert theta_groups in (1, 2, 4, 8), theta_groups
+    assert phi_groups in (1, 2, 4, 8), phi_groups
     nb = uv.shape[0]
     gv = gv.reshape(-1)
+    ap = ap.reshape(-1)
     rows_u = tile_u // pack
     rows_v = tile_v // pack
     kernel = functools.partial(
         _packed_epoch_kernel,
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, pack=pack,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
+        phi_groups=phi_groups,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,  # gu, gv, hyper
+        num_scalar_prefetch=4,  # gu, gv, ap, hyper
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # uv
-            pl.BlockSpec((1, 8, sub), lambda i, gu, gv, h: (i, 0, 0)),   # uvt
-            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, h: (i, 0, 0)),   # r
-            pl.BlockSpec((rows_u, LANES), lambda i, gu, gv, h: (gu[i], 0)),  # theta
-            pl.BlockSpec(memory_space=pl.ANY),                               # phi
+            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, ap, h: (i, 0, 0)),  # uv
+            pl.BlockSpec((1, 8, sub), lambda i, gu, gv, ap, h: (i, 0, 0)),  # uvt
+            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, ap, h: (i, 0, 0)),  # r
+            pl.BlockSpec(
+                (rows_u, LANES), lambda i, gu, gv, ap, h: (gu[i], 0)
+            ),                                                              # theta
+            pl.BlockSpec(memory_space=pl.ANY),                              # phi
         ],
         out_specs=[
-            pl.BlockSpec((rows_u, LANES), lambda i, gu, gv, h: (gu[i], 0)),
-            pl.BlockSpec((n_gv * rows_v, LANES), lambda i, gu, gv, h: (0, 0)),
+            pl.BlockSpec((rows_u, LANES), lambda i, gu, gv, ap, h: (gu[i], 0)),
+            pl.BlockSpec(
+                (n_gv * rows_v, LANES), lambda i, gu, gv, ap, h: (0, 0)
+            ),
         ],
-        scratch_shapes=[pltpu.SemaphoreType.DMA],
+        scratch_shapes=[
+            pltpu.VMEM((n_gv * rows_v, LANES), jnp.float32),  # acc
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     theta_p, phi_p = pl.pallas_call(
         kernel,
@@ -379,14 +428,14 @@ def _run_packed_epoch(
             jax.ShapeDtypeStruct((n_gu * rows_u, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_gv * rows_v, LANES), jnp.float32),
         ],
-        # operand indices include the 3 scalar-prefetch args: theta=6,
-        # phi=7 -> outputs 0, 1.
+        # operand indices include the 4 scalar-prefetch args: theta=7,
+        # phi=8 -> outputs 0, 1.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        input_output_aliases={6: 0, 7: 1},
+        input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
-    )(gu, gv, hyper, uv, uvt, r, theta_p, phi_p)
+    )(gu, gv, ap, hyper, uv, uvt, r, theta_p, phi_p)
     return theta_p, phi_p
 
 
@@ -409,6 +458,7 @@ class PackedEpochRunner:
         mxu: str = "bfloat16",
         interpret: bool = False,
         theta_groups=None,
+        phi_groups=None,
         n_plans: int = 1,
         dim: int | None = None,
         pack: int | None = None,
@@ -437,12 +487,20 @@ class PackedEpochRunner:
         self.interpret = interpret
         if theta_groups is not None:
             assert theta_groups in (1, 2, 4, 8), theta_groups
+        if phi_groups is not None:
+            assert phi_groups in (1, 2, 4, 8), phi_groups
         self.theta_groups = theta_groups
+        self.phi_groups = phi_groups
         self._dup_max = None
+        self._vdup_max = None
         if theta_groups is None:
-            stats = [_user_dup_stats(p) for p in self.plans]
+            stats = [_dup_stats(p.u, p.tile_u) for p in self.plans]
             self._dup_max = {g: max(s[g] for s in stats) for g in (1, 2, 4, 8)}
+        if phi_groups is None:
+            stats = [_dup_stats(p.v, p.tile_v) for p in self.plans]
+            self._vdup_max = {g: max(s[g] for s in stats) for g in (1, 2, 4, 8)}
         self.devs = []
+        self.flags = []  # per plan: {phi_groups: (NB, 8) apply flags}
         for plan in self.plans:
             uv = plan.u * UV_BASE + plan.v  # one id stream (see kernel doc)
             self.devs.append((
@@ -452,6 +510,9 @@ class PackedEpochRunner:
                 jnp.asarray(np.swapaxes(uv, 1, 2).copy()),
                 jnp.asarray(plan.r),
             ))
+            self.flags.append({
+                g: jnp.asarray(_apply_flags(plan.gv, g)) for g in (1, 2, 4)
+            } | {8: jnp.ones_like(jnp.asarray(plan.gv))})
         self.dev = self.devs[0]
 
     @property
@@ -467,17 +528,38 @@ class PackedEpochRunner:
                 return g
         return 8
 
+    def pick_phi_groups(self, eta: float) -> int:
+        """Most parallel item-side grouping whose staleness stays safe.
+
+        Same envelope as the user side: an item row hit k times inside one
+        deferred-apply window accumulates k stale gradients ~ k*eta*|t|^2;
+        require eta * max_dups(window) <= 0.2. Items carry the popularity
+        skew, so this usually picks sequential (8) at warm-start etas and
+        relaxes as eta decays — and is fully parallel for SGLD/AdaptReg-scale
+        etas.
+        """
+        if self.phi_groups is not None:
+            return self.phi_groups
+        for g in (1, 2, 4, 8):
+            if eta * self._vdup_max[g] <= 0.2:
+                return g
+        return 8
+
     def epoch(self, tables, eta: float, lam: float, gb: float,
               epoch_idx: int = 0):
         hyper = jnp.asarray([eta, lam, gb], jnp.float32)
         plan_i = epoch_idx % len(self.plans)
+        pg = self.pick_phi_groups(eta)
+        gu, gv, uv, uvt, r = self.devs[plan_i]
         return _run_packed_epoch(
-            tables[0], tables[1], *self.devs[plan_i], hyper,
+            tables[0], tables[1], gu, gv, self.flags[plan_i][pg],
+            uv, uvt, r, hyper,
             tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
             dim=self.dim, pack=self.pack,
             n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
+            phi_groups=pg,
         )
 
     def pad(self, params: MFParams):
@@ -493,7 +575,8 @@ class PackedEpochRunner:
 
 
 def packed_eligible(params: MFParams, batch_size: int) -> bool:
-    """Packed kernel needs dim <= 62 and the packed item table in VMEM."""
+    """Packed kernel needs dim <= 62 and the packed item table (plus its
+    same-sized deferred-apply scratch) resident in VMEM."""
     dim = params.theta.shape[1]
     pack = packing_factor(dim)
     if pack < 2:
@@ -501,4 +584,4 @@ def packed_eligible(params: MFParams, batch_size: int) -> bool:
     nv = params.phi.shape[0]
     tile_v = 128 * pack
     vmem_phi = cdiv(nv, tile_v) * tile_v // pack * LANES * 4
-    return vmem_phi <= 64 * 1024 * 1024
+    return 2 * vmem_phi <= 64 * 1024 * 1024

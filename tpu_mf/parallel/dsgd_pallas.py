@@ -162,17 +162,16 @@ def _sharded_epoch_fn(
     spec_repl = PartitionSpec()
     perm = [((i + 1) % n_dev, i) for i in range(n_dev)]
 
-    def epoch(theta_ext, phi_ext, gu, gv, u, v, ut, vt, r, w, hyper):
+    def epoch(theta_ext, phi_ext, gu, gv, uv, uvt, r, hyper):
         # Local views: leading device axis of the data is size 1.
         gu, gv = gu[0], gv[0]          # (P, NB)
-        u, v, ut, vt, r, w = (x[0] for x in (u, v, ut, vt, r, w))
+        uv, uvt, r = uv[0], uvt[0], r[0]
 
         def substep(carry, xs):
             theta_ext, phi_ext = carry
-            sgu, sgv, su, sv, sut, svt, sr, sw = xs
+            sgu, sgv, suv, suvt, sr = xs
             theta_ext, phi_ext = pallas_sgd._run_epoch(
-                theta_ext, phi_ext, sgu, sgv, su, sv, sut, svt, sr, sw,
-                hyper,
+                theta_ext, phi_ext, sgu, sgv, suv, suvt, sr, hyper,
                 tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
                 n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
             )
@@ -180,7 +179,7 @@ def _sharded_epoch_fn(
             return (theta_ext, phi_ext), None
 
         (theta_ext, phi_ext), _ = jax.lax.scan(
-            substep, (theta_ext, phi_ext), (gu, gv, u, v, ut, vt, r, w)
+            substep, (theta_ext, phi_ext), (gu, gv, uv, uvt, r)
         )
         return theta_ext, phi_ext
 
@@ -188,7 +187,7 @@ def _sharded_epoch_fn(
         jax.shard_map(
             epoch,
             mesh=mesh,
-            in_specs=(spec_rows, spec_rows) + (spec_data,) * 8 + (spec_repl,),
+            in_specs=(spec_rows, spec_rows) + (spec_data,) * 5 + (spec_repl,),
             out_specs=(spec_rows, spec_rows),
             # pallas_call's ShapeDtypeStructs carry no varying-mesh-axes
             # metadata; skip the vma check for the kernel-in-shard_map case.
@@ -220,11 +219,14 @@ class ShardedPallasRunner:
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.splan = partition_pallas(ds, self.n_dev, tile_u, tile_v, batch, seed)
         shard = row_sharding(mesh)
+        # The MF kernel consumes fused id streams (pallas_sgd.UV_BASE doc);
+        # ShardedPlan keeps the split arrays for the SGLD/AdaptReg kernels.
+        uv = self.splan.u * pallas_sgd.UV_BASE + self.splan.v
         self.dev = tuple(
             jax.device_put(x, shard)
             for x in (
-                self.splan.gu, self.splan.gv, self.splan.u, self.splan.v,
-                self.splan.ut, self.splan.vt, self.splan.r, self.splan.w,
+                self.splan.gu, self.splan.gv,
+                uv, np.swapaxes(uv, 3, 4).copy(), self.splan.r,
             )
         )
 

@@ -172,12 +172,23 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFPar
     src/mf.h:37-44; rotation strictly improves on that).
     """
     from tpu_mf.ops.pallas_sgd import PallasEpochRunner
+    from tpu_mf.ops.pallas_sgd_packed import PackedEpochRunner, packed_eligible
 
-    runner = PallasEpochRunner(
-        train_ds, tile_u=512, tile_v=512,
-        batch=max(1024, cfg.batch_size), seed=cfg.seed,
-        n_plans=2 if cfg.iters > 1 else 1,  # between-epoch reshuffling
-    )
+    n_plans = 2 if cfg.iters > 1 else 1  # between-epoch reshuffling
+    if packed_eligible(params, cfg.batch_size):
+        # Small rank: the lane-packed kernel (P rows per 128-lane register).
+        # B=8192 amortizes the per-step floor; the adaptive group picks keep
+        # the staleness window within the same envelope either way.
+        runner = PackedEpochRunner(
+            train_ds, batch=max(8192, cfg.batch_size), seed=cfg.seed,
+            n_plans=n_plans, dim=cfg.dim,
+        )
+    else:
+        runner = PallasEpochRunner(
+            train_ds, tile_u=512, tile_v=512,
+            batch=max(1024, cfg.batch_size), seed=cfg.seed,
+            n_plans=n_plans,
+        )
     tables = runner.pad(params)
     gb = float(params.gb)
     t0 = time.perf_counter()
@@ -276,6 +287,289 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log, obs=None, start=0) ->
                 elapsed=elapsed, tRMSE=t_rmse,
             )
     return gather_params(state)
+
+
+def train_mf_stream(
+    cfg: TrainConfig,
+    path: str,
+    test_ds: Optional[RatingsCOO] = None,
+    params: Optional[MFParams] = None,
+    nu: Optional[int] = None,
+    nv: Optional[int] = None,
+    log: Callable[[str], None] = print,
+) -> MFParams:
+    """Out-of-core MF training from an on-disk stream (any format).
+
+    On TPU with an eligible dim this runs the FUSED kernel over a ShardStore
+    (io/stream_fused.py) — near in-memory speed; otherwise it falls back to
+    the per-batch XLA step (io/stream.py). Reference: the TBB read pipeline,
+    src/mf.h:6-70.
+    """
+    from tpu_mf.data.streamfmt import scan_stats
+
+    if params is None:
+        if not (nu and nv):
+            nu, nv, _ = scan_stats(path)
+        key = jax.random.PRNGKey(cfg.seed)
+        params = init_mf(key, nu, nv, cfg.dim, gb=cfg.gb,
+                         dtype=jnp.dtype(cfg.dtype))
+
+    obs = _Observer(cfg, 0)
+    start, rparams, _ = obs.resume()
+    if rparams is not None:
+        params = rparams
+        log(f"# resumed from round {start} ({obs.prefix})")
+
+    use_fused = cfg.use_pallas and jax.default_backend() != "cpu"
+    if use_fused:
+        from tpu_mf.ops.pallas_sgd import pallas_eligible
+
+        use_fused = pallas_eligible(params, cfg.batch_size)
+
+    try:
+        with obs.trace():
+            t0 = time.perf_counter()
+            if use_fused:
+                from tpu_mf.io.stream_fused import FusedStreamTrainer
+
+                trainer = FusedStreamTrainer(
+                    path, batch=max(1024, cfg.batch_size), seed=cfg.seed
+                )
+                obs.n_train = trainer.n
+                tables = trainer.pad(params)
+                gb = float(params.gb)
+                try:
+                    for it in range(start + 1, cfg.iters + 1):
+                        tables = trainer.epoch(
+                            tables, cfg.eta_at(it), cfg.lam, gb, epoch_idx=it
+                        )
+                        jax.block_until_ready(tables[0])
+                        elapsed = time.perf_counter() - t0
+                        t_rmse = None
+                        if test_ds is not None:
+                            t_rmse = float(rmse(trainer.trim(tables), test_ds))
+                            log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
+                        else:
+                            log(f"iter#{it}\t{elapsed:f}")
+                        obs.epoch_done(
+                            it, params_fn=lambda: trainer.trim(tables),
+                            alg="mf", kernel="pallas-stream",
+                            eta=cfg.eta_at(it), elapsed=elapsed, tRMSE=t_rmse,
+                        )
+                    return trainer.trim(tables)
+                finally:
+                    trainer.close()
+
+            from tpu_mf.io.stream import streaming_sgd_epoch
+
+            for it in range(start + 1, cfg.iters + 1):
+                params, n = streaming_sgd_epoch(
+                    params, path, cfg.eta_at(it), cfg.lam,
+                    batch_size=cfg.batch_size, fly=cfg.fly,
+                )
+                obs.n_train = n
+                elapsed = time.perf_counter() - t0
+                t_rmse = None
+                if test_ds is not None:
+                    t_rmse = float(rmse(params, test_ds))
+                    log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
+                else:
+                    log(f"iter#{it}\t{elapsed:f}")
+                obs.epoch_done(
+                    it, params_fn=lambda: params, alg="mf",
+                    kernel="xla-stream", eta=cfg.eta_at(it),
+                    elapsed=elapsed, tRMSE=t_rmse,
+                )
+            return params
+    finally:
+        obs.close()
+
+
+def train_dpmf_stream(
+    cfg: TrainConfig,
+    path: str,
+    test_ds: Optional[RatingsCOO] = None,
+    log: Callable[[str], None] = print,
+    save_fn=None,
+) -> DPMFState:
+    """Out-of-core DP-SGLD training from an on-disk stream.
+
+    Per round: streamed SGLD pass (io/stream.streaming_sgld_round), lazy-
+    noise flush, streamed train-MSE for the Gibbs SSE, precision resampling —
+    the round structure of train_dpmf with every full-data pass streamed
+    (reference: src/dpmf.h:6-34).
+    """
+    from tpu_mf.data.streamfmt import scan_profile
+    from tpu_mf.io.stream import streaming_mse, streaming_sgld_round
+    from tpu_mf.models.dpmf import DPMFState as _S  # noqa: F401
+
+    nu, nv, ntrain, uc, vc, rsum = scan_profile(path)
+    key = jax.random.PRNGKey(cfg.seed)
+    params = init_mf(key, nu, nv, cfg.dim, gb=cfg.gb,
+                     dtype=jnp.dtype(cfg.dtype))
+    state = DPMFState(
+        params=params,
+        lambda_r=jnp.float32(1.0),
+        lambda_ub=jnp.float32(1e2),
+        lambda_vb=jnp.float32(1e2),
+        lambda_u=jnp.full((cfg.dim,), 1e2, jnp.float32),
+        lambda_v=jnp.full((cfg.dim,), 1e2, jnp.float32),
+        ur=jnp.asarray((ntrain / np.maximum(uc, 1)).astype(np.float32)),
+        vr=jnp.asarray((ntrain / np.maximum(vc, 1)).astype(np.float32)),
+        gcountu=jnp.zeros(nu + 1, jnp.int32),
+        gcountv=jnp.zeros(nv + 1, jnp.int32),
+        gcount=jnp.int32(0),
+    )
+    bound = dp_bound(cfg.epsilon, cfg.tau, nv)
+    base_key = jax.random.PRNGKey(cfg.seed ^ 0xD1FF)
+
+    obs = _Observer(cfg, ntrain)
+    start, rparams, rex = obs.resume()
+    if rparams is not None:
+        state = state._replace(
+            params=rparams,
+            lambda_r=jnp.float32(rex["lambda_r"]),
+            lambda_ub=jnp.float32(rex["lambda_ub"]),
+            lambda_vb=jnp.float32(rex["lambda_vb"]),
+            lambda_u=jnp.asarray(rex["lambda_u"]),
+            lambda_v=jnp.asarray(rex["lambda_v"]),
+            gcountu=jnp.asarray(rex["gcountu"]),
+            gcountv=jnp.asarray(rex["gcountv"]),
+            gcount=jnp.int32(rex["gcount"]),
+        )
+        log(f"# resumed from round {start} ({obs.prefix})")
+
+    t0 = time.perf_counter()
+    try:
+        with obs.trace():
+            for rnd in range(start + 1, cfg.iters + 1):
+                eta_r = cfg.eta_at_cutoff(rnd)
+                hyper = SgldHyper(
+                    eta=jnp.float32(eta_r),
+                    temp=jnp.float32(cfg.temp),
+                    bound=jnp.float32(bound),
+                    ntrain=jnp.float32(ntrain),
+                )
+                state, _ = streaming_sgld_round(
+                    state, path, hyper, jax.random.fold_in(base_key, rnd),
+                    batch_size=cfg.batch_size, fly=cfg.fly,
+                )
+                state = finish_noise(
+                    state, jnp.float32(eta_r), jnp.float32(cfg.temp),
+                    jax.random.fold_in(base_key, rnd + 500_000),
+                )
+                train_mse = streaming_mse(state.params, path)
+                state = sample_hyper(
+                    state,
+                    jnp.float32(train_mse * ntrain),
+                    jnp.float32(ntrain),
+                    jnp.float32(cfg.hypera),
+                    jnp.float32(cfg.hyperb),
+                    jax.random.fold_in(base_key, rnd + 1_000_000),
+                )
+                elapsed = time.perf_counter() - t0
+                t_rmse = None
+                if test_ds is not None:
+                    t_rmse = float(rmse(state.params, test_ds))
+                    log(
+                        f"round #{rnd}\tRMSE={np.sqrt(train_mse):f}\t"
+                        f"tRMSE={t_rmse:f}\t{elapsed:f}"
+                    )
+                else:
+                    log(f"round #{rnd}\tRMSE={np.sqrt(train_mse):f}\t{elapsed:f}")
+                obs.epoch_done(
+                    rnd, params_fn=lambda: state.params,
+                    extras_fn=lambda: dict(
+                        lambda_r=np.float32(state.lambda_r),
+                        lambda_ub=np.float32(state.lambda_ub),
+                        lambda_vb=np.float32(state.lambda_vb),
+                        lambda_u=np.asarray(state.lambda_u),
+                        lambda_v=np.asarray(state.lambda_v),
+                        gcountu=np.asarray(state.gcountu),
+                        gcountv=np.asarray(state.gcountv),
+                        gcount=np.int32(state.gcount),
+                    ),
+                    alg="dpmf", kernel="xla-stream", eta=eta_r,
+                    elapsed=elapsed, RMSE=float(np.sqrt(train_mse)),
+                    tRMSE=t_rmse,
+                )
+                if save_fn is not None and rnd >= 100 and rnd % 20 == 0:
+                    save_fn(state, rnd)
+            return state
+    finally:
+        obs.close()
+
+
+def train_admf_stream(
+    cfg: TrainConfig,
+    path: str,
+    valid_ds: RatingsCOO,
+    test_ds: Optional[RatingsCOO] = None,
+    log: Callable[[str], None] = print,
+) -> AdaptRegState:
+    """Out-of-core AdaptReg training from an on-disk stream (reference:
+    src/admf.h:6-46); the validation sample stays in memory (it is small)."""
+    from tpu_mf.data.streamfmt import scan_stats
+    from tpu_mf.io.stream import streaming_adreg_epoch
+    from tpu_mf.ops.adreg import AdRegHyper
+
+    nu, nv, ntrain = scan_stats(path)
+    key = jax.random.PRNGKey(cfg.seed)
+    state = init_admf(
+        key, nu, nv, cfg.dim, lam=cfg.lam, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype)
+    )
+    obs = _Observer(cfg, ntrain)
+    start, rparams, rex = obs.resume()
+    if rparams is not None:
+        state = state._replace(
+            params=rparams,
+            theta_old=jnp.copy(rparams.theta),
+            phi_old=jnp.copy(rparams.phi),
+            bu_old=jnp.copy(rparams.bu),
+            bv_old=jnp.copy(rparams.bv),
+            lam_u=jnp.float32(rex["lam_u"]),
+            lam_v=jnp.float32(rex["lam_v"]),
+            lam_bu=jnp.float32(rex["lam_bu"]),
+            lam_bv=jnp.float32(rex["lam_bv"]),
+        )
+        log(f"# resumed from round {start} ({obs.prefix})")
+
+    valid = (
+        jnp.asarray(valid_ds.u),
+        jnp.asarray(valid_ds.v),
+        jnp.asarray(valid_ds.r),
+    )
+    base_key = jax.random.PRNGKey(cfg.seed ^ 0xADF0)
+    t0 = time.perf_counter()
+    try:
+        with obs.trace():
+            for it in range(start + 1, cfg.iters + 1):
+                hyper = AdRegHyper(
+                    eta=jnp.float32(cfg.eta_at(it)),
+                    eta_reg=jnp.float32(cfg.eta_reg_at(it)),
+                    loss=cfg.loss,
+                )
+                state, _ = streaming_adreg_epoch(
+                    state, path, valid, hyper,
+                    jax.random.fold_in(base_key, it),
+                    batch_size=cfg.batch_size, fly=cfg.fly,
+                )
+                elapsed = time.perf_counter() - t0
+                t_rmse = None
+                if test_ds is not None:
+                    t_rmse = float(rmse(state.params, test_ds))
+                    log(f"iter#{it}\t{elapsed:f}\ttRMSE={t_rmse:f}")
+                else:
+                    log(f"iter#{it}\t{elapsed:f}")
+                obs.epoch_done(
+                    it, params_fn=lambda: state.params,
+                    extras_fn=lambda: _admf_extras(state),
+                    alg="admf", kernel="xla-stream", eta=cfg.eta_at(it),
+                    elapsed=elapsed, tRMSE=t_rmse,
+                )
+            return state
+    finally:
+        obs.close()
 
 
 def _static_batches(ds: RatingsCOO, batch_size: int):
