@@ -1,0 +1,134 @@
+"""North-star convergence study: epochs to test-RMSE 0.86 at ML-10M scale.
+
+BASELINE.json gates on "epochs to test-RMSE 0.86 on ML-10M". The real
+MovieLens-10M files are not available in this environment (zero egress), so
+this runs the FULL-SCALE ML-10M-shaped stand-in: identical nu/nv/n and a
+zipf-0.9 item long tail, with the latent signal calibrated so the synthetic
+problem has the same operating points as the real one:
+
+  * global-mean RMSE  ~= 1.06  (real ML-10M: 1.060)
+  * bias-only floor   ~= 0.98  (real ML-10M: ~0.97 biased baseline)
+  * rank-64 MF floor  ~= 0.78  (real ML-10M: ~0.79-0.80 with regularized MF)
+
+so "epochs until test RMSE crosses 0.86" exercises the same fraction of the
+learnable structure as on the real data (see BASELINE.md). Calibration:
+noise=0.78 => Bayes floor 0.78; signal=sqrt(0.35*rank_true) => latent
+variance 0.35; bias std 0.1 each => bias-only RMSE sqrt(.78^2+.35+.02)=0.99.
+
+Runs rank-64 biased MF with the fused Pallas epoch kernel at full 10M-rating
+scale (90/10 split, the split used for the published 0.86 figures), logging
+one JSON line per epoch to benchmarks/ML10M_CURVE.jsonl and a summary to
+stdout. Reference training loop semantics: run(MF&), main.cc:36-52;
+eta schedule model.cc:36-38.
+
+Usage: python benchmarks/converge_ml10m.py [--iters N] [--eta E] [--lam L]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--eta", type=float, default=0.015)
+    ap.add_argument("--lam", type=float, default=5e-3)
+    ap.add_argument("--gam", type=float, default=0.3)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "ML10M_CURVE.jsonl"))
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_mf.data.coo import synthetic_ratings
+    from tpu_mf.models.mf import init_mf, rmse
+    from tpu_mf.config import TrainConfig
+
+    nu, nv, n = 69_878, 10_677, 10_000_000
+    rank_true = 32
+    ds = synthetic_ratings(
+        nu, nv, n, rank=rank_true, noise=0.78, seed=0, gb=3.512,
+        zipf=0.9, signal=float(np.sqrt(0.35 * rank_true)),
+    )
+    train, test = ds.split(0.1, seed=1)  # (1-frac, frac) = 90/10
+    gb = train.mean_rating()
+
+    # calibration report (host-side, exact)
+    mean_rmse = float(np.sqrt(np.mean((test.r - gb) ** 2)))
+    print(f"# ML-10M stand-in: ntrain={len(train)} ntest={len(test)} "
+          f"gb={gb:.4f} global-mean test RMSE={mean_rmse:.4f} "
+          f"(Bayes floor 0.78)")
+
+    cfg = TrainConfig(alg="mf", dim=args.dim, eta=args.eta, lam=args.lam,
+                      gam=args.gam, iters=args.iters, batch_size=args.batch,
+                      gb=gb, seed=0)
+    params = init_mf(jax.random.PRNGKey(0), nu, nv, cfg.dim, gb=gb)
+
+    on_tpu = jax.default_backend() != "cpu"
+    if on_tpu:
+        from tpu_mf.ops.pallas_sgd import PallasEpochRunner
+
+        runner = PallasEpochRunner(train, tile_u=512, tile_v=512,
+                                   batch=cfg.batch_size, seed=1, n_plans=2)
+        tables = runner.pad(params)
+    else:  # CPU smoke path (tiny --iters only)
+        from tpu_mf.ops.sgd import sgd_epoch
+
+    rows = []
+    crossed = None
+    t_train = 0.0
+    f = open(args.out, "w")
+    for it in range(1, cfg.iters + 1):
+        eta = cfg.eta_at(it)
+        t0 = time.perf_counter()
+        if on_tpu:
+            tables = runner.epoch(tables, eta, cfg.lam, float(gb),
+                                  epoch_idx=it - 1)
+            _ = float(jnp.sum(tables[0]))
+        else:
+            u, v, r, w = train.to_batches(cfg.batch_size, shuffle_seed=it)
+            batches = tuple(jnp.asarray(x) for x in (u, v, r, w))
+            params = sgd_epoch(params, batches, jnp.float32(eta),
+                               jnp.float32(cfg.lam))
+            _ = float(jnp.sum(params.theta))
+        dt = time.perf_counter() - t0
+        t_train += dt
+        p = runner.trim(tables) if on_tpu else params
+        tr = float(rmse(p, test))
+        trn = float(rmse(p, train))
+        row = {"epoch": it, "eta": eta, "test_rmse": round(tr, 5),
+               "train_rmse": round(trn, 5), "epoch_s": round(dt, 4),
+               "updates_per_s": round(len(train) / dt)}
+        rows.append(row)
+        f.write(json.dumps(row) + "\n")
+        f.flush()
+        print(f"epoch {it:3d}: eta={eta:.5f} train={trn:.4f} test={tr:.4f} "
+              f"({dt*1e3:.0f} ms, {len(train)/dt/1e6:.0f}M up/s)")
+        if crossed is None and tr <= 0.86:
+            crossed = it
+    f.close()
+
+    best = min(r["test_rmse"] for r in rows)
+    print(json.dumps({
+        "metric": "epochs to test-RMSE 0.86 (ML-10M-scale stand-in, rank 64)",
+        "value": crossed if crossed is not None else -1,
+        "unit": "epochs",
+        "best_test_rmse": best,
+        "train_s_total": round(t_train, 2),
+        "curve": args.out,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

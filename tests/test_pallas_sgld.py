@@ -127,6 +127,93 @@ def test_sgld_eligibility_gate():
     ds = synthetic_ratings(100, 60, 1000, seed=3)
     state = init_dpmf(jax.random.PRNGKey(0), ds, 8)
     assert sgld_pallas_eligible(state, 1000)
-    assert not sgld_pallas_eligible(state, 1 << 25)  # count exactness bound
-    big = init_dpmf(jax.random.PRNGKey(0), ds, 125)
-    assert not sgld_pallas_eligible(big, 1000)  # dim > 124
+    assert sgld_pallas_eligible(state, 1 << 25)  # lo/hi split: > 2^24 OK
+    assert not sgld_pallas_eligible(state, 1 << 31)  # int32 state counters
+    wide = init_dpmf(jax.random.PRNGKey(0), ds, 128)  # reference default dim
+    assert sgld_pallas_eligible(wide, 1000)  # 2-lane-group rows
+    big = init_dpmf(jax.random.PRNGKey(0), ds, 252)
+    assert not sgld_pallas_eligible(big, 1000)  # dim > 251
+
+
+def test_sgld_pallas_dim128_matches_xla_with_temp0():
+    """Two-lane-group rows (reference default dim=128) match the XLA op."""
+    ds = synthetic_ratings(150, 100, 1500, rank=3, seed=4)
+    state = init_dpmf(jax.random.PRNGKey(0), ds, 128)
+    eta, temp, bound = 1e-5, 0.0, 1.0
+    ntrain = float(len(ds))
+
+    runner = PallasSgldRunner(
+        ds, tile_u=64, tile_v=64, batch=128, seed=1,
+        mxu="float32", interpret=True,
+    )
+    tables = runner.pad(state)
+    scal = eta * ntrain * bound * float(state.lambda_r)
+    tables = runner.epoch(
+        tables, 0, (eta, temp, bound, scal, float(state.params.gb)),
+        noise_seed=7,
+    )
+    out = runner.unpack(state, tables)
+
+    hyper = SgldHyper(
+        eta=jnp.float32(eta), temp=jnp.float32(temp),
+        bound=jnp.float32(bound), ntrain=jnp.float32(ntrain),
+    )
+    state0 = init_dpmf(jax.random.PRNGKey(0), ds, 128)
+    ref = replay_xla(state0, runner.plan, hyper, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(
+        np.asarray(out.params.theta), np.asarray(ref.params.theta), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.phi), np.asarray(ref.params.phi), atol=3e-5
+    )
+    assert int(out.gcount) == int(ref.gcount) == len(ds)
+
+
+def test_sgld_counter_split_telescopes_past_2_24():
+    """Lo/hi split counters stamp exactly at values far beyond 2^24.
+
+    Simulates a huge round: the runner's cum clock is offset by state_gcount
+    = 2^26 + 3 (as after ~67M ratings of a >2^24-rating round); touched rows
+    must come back stamped to EXACTLY offset + their last-touch position —
+    the old single-f32-lane layout loses low bits here (2^26 + small is not
+    representable), breaking the noise-variance telescoping.
+    """
+    from tpu_mf.ops.pallas_sgld import split_count
+
+    base = (1 << 26) + 3
+    lo, hi = split_count(np.asarray([base], np.int64))
+    assert int(lo[0]) + (int(hi[0]) << 22) == base  # exact encode/decode
+
+    ds = synthetic_ratings(80, 50, 600, rank=2, seed=5)
+    state = init_dpmf(jax.random.PRNGKey(0), ds, 8)
+    # pretend the round is already base ratings in
+    state = state._replace(
+        gcountu=jnp.full_like(state.gcountu, base),
+        gcountv=jnp.full_like(state.gcountv, base),
+        gcount=jnp.int32(base),
+    )
+    runner = PallasSgldRunner(
+        ds, tile_u=64, tile_v=64, batch=128, seed=1,
+        mxu="float32", interpret=True,
+    )
+    tables = runner.pad(state)
+    tables = runner.epoch(tables, base, (1e-6, 0.0, 1.0, 0.0, 3.0),
+                          noise_seed=11)
+    out = runner.unpack(state, tables)
+
+    # exact expected last-touch stamp per row from the plan's batch clock
+    w = runner.plan.w
+    real_per_batch = w.reshape(w.shape[0], -1).sum(1)
+    cum = np.cumsum(real_per_batch).astype(np.int64) + base
+    exp_u = np.full(ds.nu, base, np.int64)
+    exp_v = np.full(ds.nv, base, np.int64)
+    for i in range(w.shape[0]):
+        gu_off = runner.plan.gu[i] * runner.plan.tile_u
+        for k in range(8):
+            gv_off = runner.plan.gv[i, k] * runner.plan.tile_v
+            sel = w[i][:, k] > 0
+            exp_u[runner.plan.u[i][:, k][sel] + gu_off] = cum[i]
+            exp_v[runner.plan.v[i][:, k][sel] + gv_off] = cum[i]
+    np.testing.assert_array_equal(np.asarray(out.gcountu[:-1]), exp_u)
+    np.testing.assert_array_equal(np.asarray(out.gcountv[:-1]), exp_v)

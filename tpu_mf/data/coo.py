@@ -115,11 +115,17 @@ def synthetic_ratings(
     seed: int = 0,
     gb: float = 3.0,
     zipf: float = 0.0,
+    signal: float = 1.0,
 ) -> RatingsCOO:
     """Low-rank ground-truth synthetic dataset for tests and benchmarks.
 
     zipf > 0 skews item popularity as p(j) ~ 1/(j+1)^zipf (MovieLens-like
     long tails at ~0.8-1.0); 0 keeps uniform sampling.
+
+    signal scales the latent dot term: Var[s * tu.tv] = s^2/rank, so the
+    Bayes-optimal test RMSE is `noise` and a bias-only model sits at
+    sqrt(noise^2 + signal^2/rank + Var[bu] + Var[bv]) — pick (noise, signal)
+    to calibrate convergence studies against real-dataset operating points.
     """
     rng = np.random.default_rng(seed)
     tu = rng.normal(0, 1.0 / np.sqrt(rank), (nu, rank)).astype(np.float32)
@@ -139,7 +145,7 @@ def synthetic_ratings(
         gb
         + bu[u]
         + bv[v]
-        + np.einsum("nk,nk->n", tu[u], tv[v])
+        + signal * np.einsum("nk,nk->n", tu[u], tv[v])
         + rng.normal(0, noise, n)
     ).astype(np.float32)
     return RatingsCOO(u, v, r, nu, nv)

@@ -5,10 +5,12 @@ Pallas update kernel using on-chip PRNG". This kernel extends the fused SGD
 epoch kernel (ops/pallas_sgd.py — read that first) with the DPMF semantics of
 ops/sgld.py (reference: src/dpmf.h:37-92):
 
-* **Row layout** (128 lanes): [factor_0..D-1 | bias | cnt scratch | gcount |
-  invfreq], so the lazy-noise last-touch counter and the inverse-frequency
-  regularization weight travel WITH their row through the tile pipeline.
-  Requires dim <= 124.
+* **Row layout** (1-2 lane groups, like ops/pallas_sgd.row_lanes):
+  [factor_0..D-1 | bias | cnt scratch | gcount_lo | invfreq | gcount_hi] in
+  128 lanes for dim <= 123, 256 lanes for dim <= 251 (covers the reference
+  default dim=128, main.cc:97) — the lazy-noise last-touch counter and the
+  inverse-frequency regularization weight travel WITH their row through the
+  tile pipeline.
 * **Lazy Langevin noise**: per batch, rows touched for the first time since
   their last update receive one Gaussian of variance temp*eta*(global
   updates elapsed), computed from the gcount lane against a scalar-prefetched
@@ -21,10 +23,12 @@ ops/sgld.py (reference: src/dpmf.h:37-92):
   lambda_u in factor lanes and lambda_ub in the bias lane, zeros elsewhere
   (so bookkeeping lanes never decay).
 
-Counter exactness: gcount lives in an f32 lane; integers are exact below
-2^24, so rounds of up to ~16.7M ratings are exact (ML-10M fits; for larger
-epochs use the XLA path, ops/sgld.py). finish_noise (round-end flush) stays
-in the XLA path — it is O(rows), once per round.
+Counter exactness: the last-touch counter is SPLIT across two f32 lanes
+(lo = count mod 2^22, hi = count >> 22) so stamping telescopes exactly for
+counts below 2^46; the surrounding DPMFState keeps int32 counters (zeroed
+every round by finish_noise, ops/sgld.py:179-181), so the effective bound is
+2^31-1 ratings per round — Yahoo-scale rounds included. finish_noise
+(round-end flush) stays in the XLA path — it is O(rows), once per round.
 """
 
 from __future__ import annotations
@@ -41,8 +45,30 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_mf.models.dpmf import DPMFState
 from tpu_mf.ops.pallas_sgd import LANES, CellPlan, cdiv, prepare_cells
 
-MAX_DIM_SGLD = LANES - 4
-MAX_EXACT_COUNT = 1 << 24  # f32 integer exactness bound for the gcount lane
+# Row = [dim factors | bias | cnt | gc_lo | invfreq | gc_hi] in 1-2 lane groups.
+MAX_DIM_SGLD = 2 * LANES - 5
+# Split-counter radix: lo holds count mod 2^22, hi holds count >> 22. Both
+# lanes stay exact below 2^24 as long as counts stay below 2^46; the int32
+# DPMFState counters bound a round at 2^31-1 ratings in practice.
+LO_BITS = 22
+LO_BASE = 1 << LO_BITS
+MAX_EXACT_COUNT = (1 << 31) - 1  # per-round bound (int32 state counters)
+
+
+def sgld_row_lanes(dim: int) -> int:
+    """Lane width of a fused SGLD row: 128 for dim <= 123, else 256."""
+    assert dim <= MAX_DIM_SGLD, (
+        f"fused SGLD supports dim <= {MAX_DIM_SGLD}, got {dim}"
+    )
+    return LANES if dim + 5 <= LANES else 2 * LANES
+
+
+def split_count(c):
+    """(lo, hi) f32 lane pair of a non-negative integer count array."""
+    c = np.asarray(c, np.int64)
+    hi = c >> LO_BITS
+    lo = c - (hi << LO_BITS)
+    return lo.astype(np.float32), hi.astype(np.float32)
 
 
 def bits_to_normals(b1, b2):
@@ -69,7 +95,7 @@ def _normals(shape):
 
 def _sgld_kernel(
     # scalar prefetch
-    gu_ref, gv_ref, cum_ref, seed_ref, hyper_ref,
+    gu_ref, gv_ref, cum_lo_ref, cum_hi_ref, seed_ref, hyper_ref,
     # blocked inputs
     u_ref, v_ref, ut_ref, vt_ref, r_ref, w_ref, theta_ref, lam_ref,
     # HBM-resident input (aliased with the resident output)
@@ -78,7 +104,7 @@ def _sgld_kernel(
     theta_out, phi_out,
     # scratch
     sem,
-    *, tile_u: int, tile_v: int, batch: int, dim: int, mxu_dtype,
+    *, tile_u: int, tile_v: int, batch: int, dim: int, lanes: int, mxu_dtype,
     dma_seed: bool = True,
 ):
     eta = hyper_ref[0]
@@ -113,18 +139,19 @@ def _sgld_kernel(
     vt3 = vt_ref[0]
     r3 = r_ref[0]
     w3 = w_ref[0]
-    lam_u = lam_ref[0:1, :]   # (1, LANES): [lambda_u | lambda_ub | 0 0 0..]
+    lam_u = lam_ref[0:1, :]   # (1, lanes): [lambda_u | lambda_ub | 0 0 0..]
     lam_v = lam_ref[1:2, :]
 
     theta = theta_out[:]
 
-    # Lane-role masks for [factors | bias | cnt | gcount | invfreq].
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    # Lane-role masks for [factors | bias | cnt | gc_lo | invfreq | gc_hi].
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     m_fac = (lane < dim).astype(jnp.float32)
     m_bias = (lane == dim).astype(jnp.float32)
     m_keep = m_fac + m_bias
-    m_gc = (lane == dim + 2).astype(jnp.float32)
+    m_gcl = (lane == dim + 2).astype(jnp.float32)
     m_inv = (lane == dim + 3).astype(jnp.float32)
+    m_gch = (lane == dim + 4).astype(jnp.float32)
 
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_u), 1)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_v), 1)
@@ -147,15 +174,25 @@ def _sgld_kernel(
         wk = w3[:, k : k + 1].astype(mxu_dtype)
         k_u += jnp.dot(oht_u_k, wk, preferred_element_type=jnp.float32)
 
-    # --- lazy Langevin noise, u side (reference: dpmf.h:61-70) ---
-    gc_end = cum_ref[i].astype(jnp.float32)  # real ratings through this batch
+    # --- lazy Langevin noise, u side (reference: dpmf.h:61-70). The global
+    # update counter is split across two lanes (lo = mod 2^22, hi = >> 22) so
+    # the stamp telescopes exactly for rounds far beyond the 2^24 f32 integer
+    # bound; the elapsed-count DIFFERENCE recombines in f32 (its ~2^-24
+    # relative error only perturbs a noise variance). ---
+    end_lo = cum_lo_ref[i].astype(jnp.float32)  # ratings through this batch
+    end_hi = cum_hi_ref[i].astype(jnp.float32)
     touched_u = (k_u > 0).astype(jnp.float32)
-    cnt_u = jnp.sum(theta * m_gc, axis=1, keepdims=True)  # (TILE_U, 1)
-    std_u = jnp.sqrt(jnp.maximum(temp * eta * (gc_end - cnt_u), 0.0)) * touched_u
+    lo_u = jnp.sum(theta * m_gcl, axis=1, keepdims=True)  # (TILE_U, 1)
+    hi_u = jnp.sum(theta * m_gch, axis=1, keepdims=True)
+    dlo_u = end_lo - lo_u
+    dhi_u = end_hi - hi_u
+    std_u = jnp.sqrt(
+        jnp.maximum(temp * eta * (dhi_u * LO_BASE + dlo_u), 0.0)
+    ) * touched_u
     theta = (
         theta
-        + std_u * _normals((tile_u, LANES)) * m_keep
-        + touched_u * (gc_end - cnt_u) * m_gc  # stamp gcount lane to gc_end
+        + std_u * _normals((tile_u, lanes)) * m_keep
+        + touched_u * (dlo_u * m_gcl + dhi_u * m_gch)  # stamp count lanes
     )
 
     # Per-dimension decay base for the (batch-constant) theta tile.
@@ -182,14 +219,17 @@ def _sgld_kernel(
             oht_v, wk.astype(mxu_dtype), preferred_element_type=jnp.float32
         )
         touched_v = (k_v > 0).astype(jnp.float32)
-        cnt_v = jnp.sum(phi * m_gc, axis=1, keepdims=True)
+        lo_v = jnp.sum(phi * m_gcl, axis=1, keepdims=True)
+        hi_v = jnp.sum(phi * m_gch, axis=1, keepdims=True)
+        dlo_v = end_lo - lo_v
+        dhi_v = end_hi - hi_v
         std_v = jnp.sqrt(
-            jnp.maximum(temp * eta * (gc_end - cnt_v), 0.0)
+            jnp.maximum(temp * eta * (dhi_v * LO_BASE + dlo_v), 0.0)
         ) * touched_v
         phi = (
             phi
-            + std_v * _normals((tile_v, LANES)) * m_keep
-            + touched_v * (gc_end - cnt_v) * m_gc
+            + std_v * _normals((tile_v, lanes)) * m_keep
+            + touched_v * (dlo_v * m_gcl + dhi_v * m_gch)
         )
 
         theta_mx = theta.astype(mxu_dtype)
@@ -227,26 +267,28 @@ def _sgld_kernel(
 
 
 def pad_sgld(state: DPMFState, plan: CellPlan) -> Tuple[jax.Array, jax.Array]:
-    """Fused SGLD layout: rows [factors | bias | 0 | gcount | invfreq]."""
+    """Fused SGLD layout: rows [factors | bias | 0 | gc_lo | invfreq | gc_hi]."""
     params = state.params
     dim = params.theta.shape[1]
-    assert dim <= MAX_DIM_SGLD
+    lanes = sgld_row_lanes(dim)
     pu = plan.n_gu * plan.tile_u
     pv = plan.n_gv * plan.tile_v
 
     def fuse(fac, bias, gcount, invfreq, rows):
         n = fac.shape[0]
+        lo, hi = split_count(np.asarray(gcount[:n]))
         ext = jnp.concatenate(
             [
                 fac.astype(jnp.float32),
                 bias[:, None].astype(jnp.float32),
                 jnp.zeros((n, 1), jnp.float32),
-                gcount[:n].astype(jnp.float32)[:, None],
+                jnp.asarray(lo)[:, None],
                 invfreq[:, None].astype(jnp.float32),
+                jnp.asarray(hi)[:, None],
             ],
             axis=1,
         )
-        return jnp.pad(ext, ((0, rows - n), (0, LANES - ext.shape[1])))
+        return jnp.pad(ext, ((0, rows - n), (0, lanes - ext.shape[1])))
 
     return (
         fuse(params.theta, params.bu, state.gcountu, state.ur, pu),
@@ -264,12 +306,16 @@ def unpack_sgld(state: DPMFState, theta_ext, phi_ext, n_processed) -> DPMFState:
         bu=theta_ext[:nu, dim],
         bv=phi_ext[:nv, dim],
     )
-    gcountu = jnp.concatenate(
-        [theta_ext[:nu, dim + 2].astype(jnp.int32), state.gcountu[nu:]]
-    )
-    gcountv = jnp.concatenate(
-        [phi_ext[:nv, dim + 2].astype(jnp.int32), state.gcountv[nv:]]
-    )
+
+    def recount(ext, n):
+        # lo + (hi << 22); both lanes hold exact integers, the recombined
+        # per-round count fits int32 (MAX_EXACT_COUNT).
+        lo = ext[:n, dim + 2].astype(jnp.int32)
+        hi = ext[:n, dim + 4].astype(jnp.int32)
+        return lo + (hi << LO_BITS)
+
+    gcountu = jnp.concatenate([recount(theta_ext, nu), state.gcountu[nu:]])
+    gcountv = jnp.concatenate([recount(phi_ext, nv), state.gcountv[nv:]])
     return state._replace(
         params=params,
         gcountu=gcountu,
@@ -287,20 +333,21 @@ def unpack_sgld(state: DPMFState, theta_ext, phi_ext, n_processed) -> DPMFState:
 )
 def _run_sgld_epoch(
     theta_ext, phi_ext,
-    gu, gv, cum, seed, hyper, lamvec,
+    gu, gv, cum_lo, cum_hi, seed, hyper, lamvec,
     u, v, ut, vt, r, w,
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
 ):
     nb = u.shape[0]
     gv = gv.reshape(-1)  # (nb*8,) per-column item-tile indices
+    lanes = sgld_row_lanes(dim)
     kernel = functools.partial(
         _sgld_kernel,
-        tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
+        tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, lanes=lanes,
         mxu_dtype=jnp.dtype(mxu), dma_seed=not interpret,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,  # gu, gv, cum, seed, hyper
+        num_scalar_prefetch=6,  # gu, gv, cum_lo, cum_hi, seed, hyper
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # u
@@ -309,19 +356,19 @@ def _run_sgld_epoch(
             pl.BlockSpec((1, 8, sub), lambda i, *_: (i, 0, 0)),   # vt
             pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # r
             pl.BlockSpec((1, sub, 8), lambda i, *_: (i, 0, 0)),   # w
-            pl.BlockSpec((tile_u, LANES), lambda i, gu, *_: (gu[i], 0)),  # theta
-            pl.BlockSpec((2, LANES), lambda i, *_: (0, 0)),       # lambda vecs
+            pl.BlockSpec((tile_u, lanes), lambda i, gu, *_: (gu[i], 0)),  # theta
+            pl.BlockSpec((2, lanes), lambda i, *_: (0, 0)),       # lambda vecs
             (
                 # The Mosaic interpreter cannot DMA from an ANY-space input;
                 # give it a whole-array VMEM block instead.
-                pl.BlockSpec((n_gv * tile_v, LANES), lambda i, *_: (0, 0))
+                pl.BlockSpec((n_gv * tile_v, lanes), lambda i, *_: (0, 0))
                 if interpret
                 else pl.BlockSpec(memory_space=pl.ANY)             # phi (HBM)
             ),
         ],
         out_specs=[
-            pl.BlockSpec((tile_u, LANES), lambda i, gu, *_: (gu[i], 0)),
-            pl.BlockSpec((n_gv * tile_v, LANES), lambda i, *_: (0, 0)),
+            pl.BlockSpec((tile_u, lanes), lambda i, gu, *_: (gu[i], 0)),
+            pl.BlockSpec((n_gv * tile_v, lanes), lambda i, *_: (0, 0)),
         ],
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
@@ -329,20 +376,21 @@ def _run_sgld_epoch(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_gu * tile_u, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_gv * tile_v, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_gu * tile_u, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_gv * tile_v, lanes), jnp.float32),
         ],
-        # operands incl. 5 scalar-prefetch args: theta=11, phi=13 -> outs 0,1
+        # operands incl. 6 scalar-prefetch args: theta=12, phi=14 -> outs 0,1
         # v5e has 128 MB of VMEM; the compiler's default 16 MB scoped limit
         # is too tight for the resident item table + unrolled temporaries.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        input_output_aliases={11: 0, 13: 1},
+        input_output_aliases={12: 0, 14: 1},
         # The Mosaic TPU interpreter emulates pltpu.prng_* on CPU; the plain
         # HLO interpreter does not.
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(gu, gv, cum, seed, hyper, u, v, ut, vt, r, w, theta_ext, lamvec, phi_ext)
+    )(gu, gv, cum_lo, cum_hi, seed, hyper, u, v, ut, vt, r, w,
+      theta_ext, lamvec, phi_ext)
     return theta_ext, phi_ext
 
 
@@ -370,9 +418,10 @@ class PallasSgldRunner:
         u = self.plan.u
         v = self.plan.v
         # cumulative REAL rating count per batch: the global update counter
-        # value after each batch (exact lazy-noise accounting).
+        # value after each batch (exact lazy-noise accounting; int64 so the
+        # lo/hi lane split below stays exact far beyond 2^24).
         real_per_batch = self.plan.w.reshape(self.plan.w.shape[0], -1).sum(1)
-        self.cum_base = np.cumsum(real_per_batch).astype(np.int32)
+        self.cum_base = np.cumsum(real_per_batch).astype(np.int64)
         self.dev = (
             jnp.asarray(self.plan.gu),
             jnp.asarray(self.plan.gv),
@@ -388,12 +437,14 @@ class PallasSgldRunner:
     def epoch(self, tables, state_gcount: int, hyper, noise_seed: int):
         """hyper = (eta, temp, bound, scal, gb) floats."""
         gu, gv, u, v, ut, vt, r, w = self.dev
-        cum = jnp.asarray(self.cum_base + np.int32(state_gcount))
+        lo, hi = split_count(self.cum_base + np.int64(state_gcount))
+        cum_lo = jnp.asarray(lo.astype(np.int32))
+        cum_hi = jnp.asarray(hi.astype(np.int32))
         seed = jnp.asarray([noise_seed], jnp.int32)
         hyper_v = jnp.asarray(list(hyper), jnp.float32)
         return _run_sgld_epoch(
             tables[0], tables[1],
-            gu, gv, cum, seed, hyper_v, self.lamvec,
+            gu, gv, cum_lo, cum_hi, seed, hyper_v, self.lamvec,
             u, v, ut, vt, r, w,
             tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
             dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
@@ -407,23 +458,27 @@ class PallasSgldRunner:
 
     def set_lambdas(self, state: DPMFState) -> None:
         """(Re)build the lambda lane vectors after Gibbs resampling."""
-        dim = state.params.theta.shape[1]
-        lu = jnp.zeros((LANES,), jnp.float32)
-        lu = lu.at[:dim].set(state.lambda_u).at[dim].set(state.lambda_ub)
-        lv = jnp.zeros((LANES,), jnp.float32)
-        lv = lv.at[:dim].set(state.lambda_v).at[dim].set(state.lambda_vb)
-        self.lamvec = jnp.stack([lu, lv])
+        self.lamvec = build_lamvec(state)
 
     def unpack(self, state: DPMFState, tables) -> DPMFState:
         return unpack_sgld(state, tables[0], tables[1], self.n_real)
 
 
+def build_lamvec(state: DPMFState) -> jax.Array:
+    """(2, row_lanes) lambda lane vectors: [lambda_u.. | lambda_ub | 0..]."""
+    dim = state.params.theta.shape[1]
+    lanes = sgld_row_lanes(dim)
+    lu = jnp.zeros((lanes,), jnp.float32)
+    lu = lu.at[:dim].set(state.lambda_u).at[dim].set(state.lambda_ub)
+    lv = jnp.zeros((lanes,), jnp.float32)
+    lv = lv.at[:dim].set(state.lambda_v).at[dim].set(state.lambda_vb)
+    return jnp.stack([lu, lv])
+
+
 def sgld_pallas_eligible(state: DPMFState, ntrain: int) -> bool:
     dim = state.params.theta.shape[1]
+    if dim > MAX_DIM_SGLD:
+        return False
     nv = state.params.phi.shape[0]
-    vmem_phi = cdiv(nv, 256) * 256 * LANES * 4
-    return (
-        dim <= MAX_DIM_SGLD
-        and vmem_phi <= 64 * 1024 * 1024
-        and ntrain < MAX_EXACT_COUNT
-    )
+    vmem_phi = cdiv(nv, 256) * 256 * sgld_row_lanes(dim) * 4
+    return vmem_phi <= 64 * 1024 * 1024 and ntrain < MAX_EXACT_COUNT

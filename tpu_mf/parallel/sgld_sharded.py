@@ -29,7 +29,7 @@ from jax.sharding import Mesh, PartitionSpec
 from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.dpmf import DPMFState
 from tpu_mf.ops import pallas_sgld
-from tpu_mf.ops.pallas_sgld import LANES, cdiv
+from tpu_mf.ops.pallas_sgld import cdiv
 from tpu_mf.parallel.dsgd_pallas import partition_pallas
 from tpu_mf.parallel.mesh import AXIS, row_sharding
 
@@ -44,11 +44,11 @@ def _substep_fn(
     spec_repl = PartitionSpec()
     perm = [((i + 1) % n_dev, i) for i in range(n_dev)]
 
-    def substep(theta_ext, phi_ext, gu, gv, cum, seed, hyper, lamvec,
-                u, v, ut, vt, r, w):
+    def substep(theta_ext, phi_ext, gu, gv, cum_lo, cum_hi, seed, hyper,
+                lamvec, u, v, ut, vt, r, w):
         theta_ext, phi_ext = pallas_sgld._run_sgld_epoch(
             theta_ext, phi_ext,
-            gu[0], gv[0], cum[0], seed, hyper, lamvec,
+            gu[0], gv[0], cum_lo[0], cum_hi[0], seed, hyper, lamvec,
             u[0], v[0], ut[0], vt[0], r[0], w[0],
             tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
             n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
@@ -61,7 +61,8 @@ def _substep_fn(
             substep,
             mesh=mesh,
             in_specs=(spec_rows, spec_rows, spec_data, spec_data, spec_data,
-                      spec_data, spec_repl, spec_repl) + (spec_data,) * 6,
+                      spec_data, spec_data, spec_repl, spec_repl)
+            + (spec_data,) * 6,
             out_specs=(spec_rows, spec_rows),
             check_vma=False,
         ),
@@ -113,7 +114,7 @@ class ShardedSgldRunner:
         ).astype(np.int64)
         # clamp to the substep's end so the clock never overshoots it
         substep_end = (before + per_substep)[None, :, None]
-        self.cum = np.minimum(self.cum, substep_end).astype(np.int32)
+        self.cum = np.minimum(self.cum, substep_end).astype(np.int64)
         self.nb = nb
         self.n_real = int(self.splan.n_real)
         # per-round seed stride: (substep, device) pairs each consume nb+1
@@ -130,12 +131,7 @@ class ShardedSgldRunner:
         )
 
     def set_lambdas(self, state: DPMFState) -> None:
-        dim = state.params.theta.shape[1]
-        lu = jnp.zeros((LANES,), jnp.float32)
-        lu = lu.at[:dim].set(state.lambda_u).at[dim].set(state.lambda_ub)
-        lv = jnp.zeros((LANES,), jnp.float32)
-        lv = lv.at[:dim].set(state.lambda_v).at[dim].set(state.lambda_vb)
-        self.lamvec = jnp.stack([lu, lv])
+        self.lamvec = pallas_sgld.build_lamvec(state)
 
     def epoch(self, tables, state_gcount: int, hyper, noise_seed: int):
         """One round (pass over the data): P substeps. hyper = (eta, temp,
@@ -150,9 +146,11 @@ class ShardedSgldRunner:
         gu, gv, u, v, ut, vt, r, w = self.dev
         shard = row_sharding(self.mesh)
         for s in range(self.n_dev):
-            cum_s = jax.device_put(
-                jnp.asarray(self.cum[:, s] + np.int32(state_gcount)), shard
+            lo, hi = pallas_sgld.split_count(
+                self.cum[:, s] + np.int64(state_gcount)
             )
+            cum_lo = jax.device_put(jnp.asarray(lo.astype(np.int32)), shard)
+            cum_hi = jax.device_put(jnp.asarray(hi.astype(np.int32)), shard)
             # distinct seed per (round, substep, device): the kernel adds the
             # batch index, so space (substep, device) pairs by nb+1
             seeds = jax.device_put(
@@ -166,7 +164,8 @@ class ShardedSgldRunner:
             )
             tables = fn(
                 tables[0], tables[1],
-                gu[:, s], gv[:, s], cum_s, seeds, hyper_v, self.lamvec,
+                gu[:, s], gv[:, s], cum_lo, cum_hi, seeds, hyper_v,
+                self.lamvec,
                 u[:, s], v[:, s], ut[:, s], vt[:, s], r[:, s], w[:, s],
             )
         return tables

@@ -643,11 +643,11 @@ def train_dpmf(
         from tpu_mf.parallel.sgld_sharded import ShardedSgldRunner
 
         if not sgld_pallas_eligible(state, ntrain):
-            # dim > 124 or a round too large for the f32 gcount lane: the
-            # sharded kernel has no fallback yet — run the (single-chip)
-            # XLA path rather than silently corrupting noise accounting.
+            # dim > 251 or a round beyond the int32 counters: the sharded
+            # kernel has no fallback yet — run the (single-chip) XLA path
+            # rather than silently corrupting noise accounting.
             log(
-                "# --mesh dpmf requires dim <= 124 and ntrain < 2^24; "
+                "# --mesh dpmf requires dim <= 251 and ntrain < 2^31; "
                 "falling back to the single-chip XLA path"
             )
         else:
