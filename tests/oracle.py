@@ -31,6 +31,44 @@ def sgd_sequential(theta, phi, bu, bv, gb, u, v, r, eta, lam):
     return theta, phi, bu, bv
 
 
+def sgd_sequential_scan(theta, phi, bu, bv, gb, u, v, r, eta, lam):
+    """The SAME per-rating sequential loop as sgd_sequential, expressed as a
+    lax.scan so million-rating oracles finish in seconds. Math is float32,
+    exactly like the reference's `float` tables (src/mf.h:94-109); the scan
+    carries the full tables and each step updates one (user, item) pair —
+    strictly sequential, no batching semantics anywhere.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    lameta = np.float32(1.0 - eta * lam)
+    eta = np.float32(eta)
+    gb = np.float32(gb)
+
+    def step(carry, x):
+        theta, phi, bu, bv = carry
+        uu, vv, rr = x
+        t = theta[uu]
+        p = phi[vv]
+        err = eta * (rr - t @ p - bu[uu] - bv[vv] - gb)
+        theta = theta.at[uu].set(lameta * t + err * p)
+        phi = phi.at[vv].set(lameta * p + err * t)
+        bu = bu.at[uu].set(lameta * bu[uu] + err)
+        bv = bv.at[vv].set(lameta * bv[vv] + err)
+        return (theta, phi, bu, bv), None
+
+    carry = (
+        jnp.asarray(theta, jnp.float32), jnp.asarray(phi, jnp.float32),
+        jnp.asarray(bu, jnp.float32), jnp.asarray(bv, jnp.float32),
+    )
+    xs = (
+        jnp.asarray(u, jnp.int32), jnp.asarray(v, jnp.int32),
+        jnp.asarray(r, jnp.float32),
+    )
+    carry, _ = jax.jit(lambda c, x: jax.lax.scan(step, c, x))(carry, xs)
+    return tuple(np.asarray(a) for a in carry)
+
+
 def predict(theta, phi, bu, bv, gb, u, v):
     return np.einsum("nd,nd->n", theta[u], phi[v]) + bu[u] + bv[v] + gb
 

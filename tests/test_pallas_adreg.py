@@ -87,3 +87,23 @@ def test_adreg_eligibility():
     assert adreg_pallas_eligible(state, 1024)
     _, _, big = setup(dim=255)
     assert not adreg_pallas_eligible(big, 1024)
+
+
+def test_adreg_plan_rotation():
+    """n_plans=2 rotates independently-shuffled plans; both epochs train."""
+    ds, valid, state = setup()
+    runner = PallasAdRegRunner(
+        ds, valid, tile_u=128, tile_v=128, batch=256, segments=2, seed=2,
+        mxu="float32", interpret=True, n_plans=2,
+    )
+    tables = runner.pad(state)
+    before = rmse(state.params, ds)
+    tables = runner.epoch(tables, 0.05, 1e-4, jax.random.PRNGKey(5),
+                          epoch_idx=0)
+    tables = runner.epoch(tables, 0.04, 1e-4, jax.random.PRNGKey(6),
+                          epoch_idx=1)
+    out = runner.trim(tables)
+    after = rmse(out, ds)
+    assert np.isfinite(after) and after < before
+    # the two plans are genuinely different shuffles
+    assert not np.array_equal(runner.plans[0].u, runner.plans[1].u)

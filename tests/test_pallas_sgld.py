@@ -217,3 +217,29 @@ def test_sgld_counter_split_telescopes_past_2_24():
             exp_v[runner.plan.v[i][:, k][sel] + gv_off] = cum[i]
     np.testing.assert_array_equal(np.asarray(out.gcountu[:-1]), exp_u)
     np.testing.assert_array_equal(np.asarray(out.gcountv[:-1]), exp_v)
+
+
+def test_sgld_plan_rotation():
+    """n_plans=2 rotates shuffled plans; counters stay exact across both."""
+    ds = synthetic_ratings(120, 80, 2000, rank=3, seed=6)
+    state = init_dpmf(jax.random.PRNGKey(0), ds, 8)
+    runner = PallasSgldRunner(
+        ds, tile_u=64, tile_v=64, batch=128, seed=1,
+        mxu="float32", interpret=True, n_plans=2,
+    )
+    eta, temp, bound = 1e-5, 0.0, 1.0
+    scal = eta * len(ds) * bound * float(state.lambda_r)
+    hyper = (eta, temp, bound, scal, float(state.params.gb))
+    tables = runner.pad(state)
+    tables = runner.epoch(tables, 0, hyper, noise_seed=7, epoch_idx=0)
+    state = runner.unpack(state, tables)
+    tables = runner.pad(state)
+    tables = runner.epoch(tables, int(state.gcount), hyper, noise_seed=900,
+                          epoch_idx=1)
+    state = runner.unpack(state, tables)
+    assert int(state.gcount) == 2 * len(ds)
+    # every touched row's last stamp falls inside round 2's clock range
+    touched = np.unique(ds.u)
+    gcu = np.asarray(state.gcountu[:-1])[touched]
+    assert (gcu > len(ds)).all() and (gcu <= 2 * len(ds)).all()
+    assert not np.array_equal(runner.plans[0].u, runner.plans[1].u)

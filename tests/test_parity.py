@@ -47,6 +47,53 @@ def test_rmse_parity_vs_sequential_reference_zipf():
 
     # Both fits converge to the same basin: parity within 5e-3 absolute on a
     # 30k-rating problem (run-to-run shuffle variance of the oracle itself is
-    # of this order; at ML-10M scale the gap shrinks with 1/sqrt(n)).
+    # of this order; the 1e-3 BASELINE gate is enforced at 1M ratings below,
+    # where shuffle variance has shrunk ~1/sqrt(n)).
     assert abs(ours - oracle) < 5e-3, f"ours={ours:.5f} oracle={oracle:.5f}"
     assert ours < 0.35  # both must actually have converged near noise level
+
+
+def test_rmse_parity_1e3_at_1m_ratings():
+    """The BASELINE.json 1e-3 parity gate, at a scale where it is enforceable.
+
+    1M training ratings, MovieLens-like marginals (zipf item/user skew with
+    calibrated Zipf-Mandelbrot heads), 6 epochs. The oracle is the strictly
+    sequential per-rating reference loop (mf.h:94-109) run via the lax.scan
+    port (bit-matches tests/oracle.sgd_sequential to float32 rounding); the
+    framework trains through its production batched path.
+    """
+    nu, nv, n = 20_000, 4_000, 1_250_000
+    ds = synthetic_ratings(
+        nu, nv, n, rank=4, noise=0.15, seed=20,
+        zipf=1.0, zipf_q=30.0, zipf_u=1.0, zipf_uq=100.0,
+    )
+    train, test = ds.split(0.2, seed=21)
+    iters, eta0, lam, gam = 6, 0.03, 0.01, 0.3
+    gb = ds.mean_rating()
+
+    cfg = TrainConfig(
+        dim=8, iters=iters, eta=eta0, lam=lam, gam=gam, gb=gb,
+        batch_size=2048, seed=0,
+    )
+    params = train_mf(cfg, train, test_ds=None, log=lambda s: None)
+    ours = float(rmse(params, test))
+
+    from tests.oracle import sgd_sequential_scan
+
+    p0 = init_mf(jax.random.PRNGKey(0), nu, nv, cfg.dim, gb=gb)
+    t = np.asarray(p0.theta); p = np.asarray(p0.phi)
+    bu = np.asarray(p0.bu); bv = np.asarray(p0.bv)
+    rng = np.random.default_rng(22)
+    for it in range(1, iters + 1):
+        perm = rng.permutation(len(train))
+        t, p, bu, bv = sgd_sequential_scan(
+            t, p, bu, bv, gb,
+            train.u[perm], train.v[perm], train.r[perm],
+            cfg.eta_at(it), lam,
+        )
+    oracle = oracle_rmse(t, p, bu, bv, gb, test.u, test.v, test.r)
+
+    assert abs(ours - oracle) < 1e-3, f"ours={ours:.5f} oracle={oracle:.5f}"
+    # converged well toward the 0.15 noise floor (bias-only sits at ~0.46);
+    # 6 epochs land at ~0.26 — enough signal for the parity gap to be real
+    assert ours < 0.30

@@ -116,11 +116,18 @@ def synthetic_ratings(
     gb: float = 3.0,
     zipf: float = 0.0,
     signal: float = 1.0,
+    zipf_q: float = 0.0,
+    zipf_u: float = 0.0,
+    zipf_uq: float = 0.0,
+    bias_std: float = 0.1,
 ) -> RatingsCOO:
     """Low-rank ground-truth synthetic dataset for tests and benchmarks.
 
-    zipf > 0 skews item popularity as p(j) ~ 1/(j+1)^zipf (MovieLens-like
-    long tails at ~0.8-1.0); 0 keeps uniform sampling.
+    zipf > 0 skews item popularity as p(j) ~ 1/(j+1+zipf_q)^zipf
+    (Zipf-Mandelbrot; MovieLens-like long tails at exponent ~0.8-1.0, and
+    the offset zipf_q flattens the head — real catalogs' top item holds a
+    fraction of a percent of all ratings, not the 5%+ a pure power law
+    gives). zipf_u/zipf_uq do the same for user activity; 0 keeps uniform.
 
     signal scales the latent dot term: Var[s * tu.tv] = s^2/rank, so the
     Bayes-optimal test RMSE is `noise` and a bias-only model sits at
@@ -130,15 +137,22 @@ def synthetic_ratings(
     rng = np.random.default_rng(seed)
     tu = rng.normal(0, 1.0 / np.sqrt(rank), (nu, rank)).astype(np.float32)
     tv = rng.normal(0, 1.0 / np.sqrt(rank), (nv, rank)).astype(np.float32)
-    bu = rng.normal(0, 0.1, nu).astype(np.float32)
-    bv = rng.normal(0, 0.1, nv).astype(np.float32)
-    u = rng.integers(0, nu, n).astype(np.int32)
-    if zipf > 0.0:
-        p = 1.0 / np.power(np.arange(1, nv + 1, dtype=np.float64), zipf)
+    bu = rng.normal(0, bias_std, nu).astype(np.float32)
+    bv = rng.normal(0, bias_std, nv).astype(np.float32)
+
+    def skewed(count, expo, q):
+        p = 1.0 / np.power(np.arange(1, count + 1, dtype=np.float64) + q, expo)
         p /= p.sum()
-        # shuffle so popularity is not correlated with item id
-        p = p[rng.permutation(nv)]
-        v = rng.choice(nv, size=n, p=p).astype(np.int32)
+        # shuffle so popularity is not correlated with id
+        p = p[rng.permutation(count)]
+        return rng.choice(count, size=n, p=p).astype(np.int32)
+
+    if zipf_u > 0.0:
+        u = skewed(nu, zipf_u, zipf_uq)
+    else:
+        u = rng.integers(0, nu, n).astype(np.int32)
+    if zipf > 0.0:
+        v = skewed(nv, zipf, zipf_q)
     else:
         v = rng.integers(0, nv, n).astype(np.int32)
     r = (

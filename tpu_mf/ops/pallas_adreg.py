@@ -267,60 +267,76 @@ class PallasAdRegRunner:
         interpret: bool = False,
         loss: int = 0,
         n_reg_samples: int = 64,
+        n_plans: int = 1,
     ):
         batch = cdiv(batch, 8) * 8
-        plan = prepare_cells(train_ds, tile_u, tile_v, batch, seed)
-        # Pad the batch list to a multiple of `segments` with no-op batches
-        # (w=0, sentinel ids, tile 0).
-        nb = plan.u.shape[0]
-        segments = min(segments, nb)
-        nb_pad = cdiv(nb, segments) * segments
-        pad = nb_pad - nb
-        sub = batch // 8
-
-        def padb(x, fill):
-            extra = np.full((pad,) + x.shape[1:], fill, x.dtype)
-            return np.concatenate([x, extra])
-
-        # Pad batches keep the last real gu: a gu change would reload the
-        # theta tile from the aliased HBM buffer, which does not see the
-        # store made earlier in the same pallas_call (stale clobber).
-        self.gu = padb(plan.gu, plan.gu[-1] if nb else 0)
-        self.gv = padb(plan.gv, 0)
-        u = padb(plan.u, tile_u)
-        v = padb(plan.v, tile_v)
-        r = padb(plan.r, 0)
-        w = padb(plan.w, 0)
-        self.plan = plan
+        # n_plans > 1 rotates independently-shuffled cell plans between
+        # epochs (between-epoch reshuffling; the reference replays one fixed
+        # file order per epoch, admf.h:6-46).
+        self.plans = [
+            prepare_cells(train_ds, tile_u, tile_v, batch, seed + 7919 * p)
+            for p in range(max(1, n_plans))
+        ]
+        self.plan = self.plans[0]
         self.nu, self.nv = train_ds.nu, train_ds.nv
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
-        self.segments, self.seg_len = segments, nb_pad // segments
         self.mxu, self.interpret, self.loss = mxu, interpret, loss
         self.n_reg_samples = n_reg_samples
-
-        # user-visits per segment: distinct real users per batch, summed
-        # (vectorized — Python np.unique loops take minutes at Netflix scale).
         from tpu_mf.ops.common import distinct_counts
 
-        visits = np.zeros(nb_pad, np.float32)
-        visits[:nb] = distinct_counts(
-            plan.u.reshape(nb, -1), plan.w.reshape(nb, -1) > 0
-        )
-        self.visits_per_seg = visits.reshape(segments, -1).sum(1).astype(np.float32)
+        self.bundles = []
+        for plan in self.plans:
+            # Pad the batch list to a multiple of `segments` with no-op
+            # batches (w=0, sentinel ids, tile 0).
+            nb = plan.u.shape[0]
+            segs = min(segments, nb)
+            nb_pad = cdiv(nb, segs) * segs
+            pad = nb_pad - nb
 
-        def seg(x):
-            return [
-                jnp.asarray(x[s * self.seg_len : (s + 1) * self.seg_len])
-                for s in range(segments)
-            ]
+            def padb(x, fill):
+                extra = np.full((pad,) + x.shape[1:], fill, x.dtype)
+                return np.concatenate([x, extra])
 
-        self.dev = {
-            "gu": seg(self.gu), "gv": seg(self.gv),
-            "u": seg(u), "v": seg(v),
-            "ut": seg(np.swapaxes(u, 1, 2).copy()),
-            "vt": seg(np.swapaxes(v, 1, 2).copy()),
-            "r": seg(r), "w": seg(w),
-        }
+            # Pad batches keep the last real gu: a gu change would reload the
+            # theta tile from the aliased HBM buffer, which does not see the
+            # store made earlier in the same pallas_call (stale clobber).
+            gu = padb(plan.gu, plan.gu[-1] if nb else 0)
+            gv = padb(plan.gv, 0)
+            u = padb(plan.u, tile_u)
+            v = padb(plan.v, tile_v)
+            r = padb(plan.r, 0)
+            w = padb(plan.w, 0)
+            seg_len = nb_pad // segs
+
+            # user-visits per segment: distinct real users per batch, summed
+            # (vectorized — Python np.unique loops take minutes at Netflix
+            # scale).
+            visits = np.zeros(nb_pad, np.float32)
+            visits[:nb] = distinct_counts(
+                plan.u.reshape(nb, -1), plan.w.reshape(nb, -1) > 0
+            )
+
+            def seg(x, segs=segs, seg_len=seg_len):
+                return [
+                    jnp.asarray(x[s * seg_len : (s + 1) * seg_len])
+                    for s in range(segs)
+                ]
+
+            self.bundles.append(dict(
+                segments=segs, seg_len=seg_len, n_gu=plan.n_gu,
+                n_gv=plan.n_gv,
+                visits_per_seg=visits.reshape(segs, -1).sum(1).astype(
+                    np.float32),
+                gu=seg(gu), gv=seg(gv), u=seg(u), v=seg(v),
+                ut=seg(np.swapaxes(u, 1, 2).copy()),
+                vt=seg(np.swapaxes(v, 1, 2).copy()),
+                r=seg(r), w=seg(w),
+            ))
+        b0 = self.bundles[0]
+        self.segments, self.seg_len = b0["segments"], b0["seg_len"]
+        self.visits_per_seg = b0["visits_per_seg"]
+        self.dev = {k: b0[k] for k in
+                    ("gu", "gv", "u", "v", "ut", "vt", "r", "w")}
         self.valid = (
             jnp.asarray(valid_ds.u),
             jnp.asarray(valid_ds.v),
@@ -343,10 +359,13 @@ class PallasAdRegRunner:
         lv = lv.at[: self.dim].set(self.lams[1]).at[self.dim].set(self.lams[3])
         return jnp.stack([lu, lv])
 
-    def epoch(self, tables, eta: float, eta_reg: float, key: jax.Array):
+    def epoch(self, tables, eta: float, eta_reg: float, key: jax.Array,
+              epoch_idx: int = 0):
+        """epoch_idx rotates between the shuffled plans when n_plans > 1."""
         hyper = jnp.asarray([eta, self.gb], jnp.float32)
         uv, vv, rv = self.valid
-        for s in range(self.segments):
+        b = self.bundles[epoch_idx % len(self.bundles)]
+        for s in range(b["segments"]):
             # sample the K validation rows BEFORE the segment and gather just
             # those rows as the "old" snapshot (zero table copies)
             ksel = jax.random.randint(
@@ -358,19 +377,19 @@ class PallasAdRegRunner:
             old_p = tables[1][sv]
             tables = _run_adreg_segment(
                 tables[0], tables[1],
-                self.dev["gu"][s], self.dev["gv"][s],
-                self.dev["u"][s], self.dev["v"][s],
-                self.dev["ut"][s], self.dev["vt"][s],
-                self.dev["r"][s], self.dev["w"][s],
+                b["gu"][s], b["gv"][s],
+                b["u"][s], b["v"][s],
+                b["ut"][s], b["vt"][s],
+                b["r"][s], b["w"][s],
                 hyper, self._lamvec(),
                 tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
-                dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
+                dim=self.dim, n_gu=b["n_gu"], n_gv=b["n_gv"],
                 mxu=self.mxu, interpret=self.interpret, loss=self.loss,
             )
             self.lams = hypergrad_ext_rows(
                 tables[0][su], tables[1][sv], old_t, old_p, sr, self.lams,
                 jnp.float32(eta), jnp.float32(eta_reg),
-                jnp.float32(self.visits_per_seg[s]),
+                jnp.float32(b["visits_per_seg"][s]),
                 jnp.float32(self.gb), self.dim, self.loss,
             )
         return tables

@@ -406,38 +406,55 @@ class PallasSgldRunner:
         seed: int = 0,
         mxu: str = "bfloat16",
         interpret: bool = False,
+        n_plans: int = 1,
     ):
         batch = cdiv(batch, 8) * 8
-        self.plan = prepare_cells(train_ds, tile_u, tile_v, batch, seed)
-        self.nb = self.plan.u.shape[0]
+        # n_plans > 1 rotates independently-shuffled cell plans between
+        # rounds (same between-epoch reshuffling the MF runner gained in
+        # pallas_sgd.PallasEpochRunner; the reference replays one fixed file
+        # order per round, dpmf.h:6-34).
+        self.plans = [
+            prepare_cells(train_ds, tile_u, tile_v, batch, seed + 7919 * p)
+            for p in range(max(1, n_plans))
+        ]
+        self.plan = self.plans[0]
+        self.nb = max(p.u.shape[0] for p in self.plans)
         # distinct prng seeds per round must be spaced by at least this
         self.seed_stride = self.nb + 1
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu = mxu
         self.interpret = interpret
-        u = self.plan.u
-        v = self.plan.v
-        # cumulative REAL rating count per batch: the global update counter
-        # value after each batch (exact lazy-noise accounting; int64 so the
-        # lo/hi lane split below stays exact far beyond 2^24).
-        real_per_batch = self.plan.w.reshape(self.plan.w.shape[0], -1).sum(1)
-        self.cum_base = np.cumsum(real_per_batch).astype(np.int64)
-        self.dev = (
-            jnp.asarray(self.plan.gu),
-            jnp.asarray(self.plan.gv),
-            jnp.asarray(u),
-            jnp.asarray(v),
-            jnp.asarray(np.swapaxes(u, 1, 2).copy()),
-            jnp.asarray(np.swapaxes(v, 1, 2).copy()),
-            jnp.asarray(self.plan.r),
-            jnp.asarray(self.plan.w),
-        )
+        self.devs = []
+        self.cum_bases = []
+        for plan in self.plans:
+            u, v = plan.u, plan.v
+            # cumulative REAL rating count per batch: the global update
+            # counter value after each batch (exact lazy-noise accounting;
+            # int64 so the lo/hi lane split stays exact far beyond 2^24).
+            real_per_batch = plan.w.reshape(plan.w.shape[0], -1).sum(1)
+            self.cum_bases.append(np.cumsum(real_per_batch).astype(np.int64))
+            self.devs.append((
+                jnp.asarray(plan.gu),
+                jnp.asarray(plan.gv),
+                jnp.asarray(u),
+                jnp.asarray(v),
+                jnp.asarray(np.swapaxes(u, 1, 2).copy()),
+                jnp.asarray(np.swapaxes(v, 1, 2).copy()),
+                jnp.asarray(plan.r),
+                jnp.asarray(plan.w),
+            ))
+        self.dev = self.devs[0]
+        self.cum_base = self.cum_bases[0]
         self.n_real = int(self.plan.n_real)
 
-    def epoch(self, tables, state_gcount: int, hyper, noise_seed: int):
-        """hyper = (eta, temp, bound, scal, gb) floats."""
-        gu, gv, u, v, ut, vt, r, w = self.dev
-        lo, hi = split_count(self.cum_base + np.int64(state_gcount))
+    def epoch(self, tables, state_gcount: int, hyper, noise_seed: int,
+              epoch_idx: int = 0):
+        """hyper = (eta, temp, bound, scal, gb) floats; epoch_idx rotates
+        between the shuffled plans when n_plans > 1."""
+        plan_i = epoch_idx % len(self.plans)
+        plan = self.plans[plan_i]
+        gu, gv, u, v, ut, vt, r, w = self.devs[plan_i]
+        lo, hi = split_count(self.cum_bases[plan_i] + np.int64(state_gcount))
         cum_lo = jnp.asarray(lo.astype(np.int32))
         cum_hi = jnp.asarray(hi.astype(np.int32))
         seed = jnp.asarray([noise_seed], jnp.int32)
@@ -447,7 +464,7 @@ class PallasSgldRunner:
             gu, gv, cum_lo, cum_hi, seed, hyper_v, self.lamvec,
             u, v, ut, vt, r, w,
             tile_u=self.tile_u, tile_v=self.tile_v, batch=self.batch,
-            dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
+            dim=self.dim, n_gu=plan.n_gu, n_gv=plan.n_gv,
             mxu=self.mxu, interpret=self.interpret,
         )
 

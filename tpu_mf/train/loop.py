@@ -668,6 +668,7 @@ def train_dpmf(
             sgld_runner = PallasSgldRunner(
                 train_ds, tile_u=512, tile_v=512,
                 batch=max(1024, cfg.batch_size), seed=cfg.seed,
+                n_plans=2 if cfg.iters > 1 else 1,
             )
         elif cfg.mesh <= 1:
             log(
@@ -708,6 +709,7 @@ def train_dpmf(
                     # prng with (noise_seed + batch_index) per device/substep.
                     noise_seed=cfg.seed * 1_000_003
                     + rnd * sgld_runner.seed_stride,
+                    epoch_idx=rnd - 1,
                 )
                 state = sgld_runner.unpack(state, tables)
             else:
@@ -866,6 +868,7 @@ def _train_admf_impl(
             runner = PallasAdRegRunner(
                 train_ds, valid_ds, tile_u=512, tile_v=512,
                 batch=max(1024, cfg.batch_size), seed=cfg.seed, loss=cfg.loss,
+                n_plans=2 if cfg.iters > 1 else 1,
             )
             tables = runner.pad(state)
             t0 = time.perf_counter()
@@ -873,6 +876,7 @@ def _train_admf_impl(
                 tables = runner.epoch(
                     tables, cfg.eta_at(it), cfg.eta_reg_at(it),
                     jax.random.fold_in(jax.random.PRNGKey(cfg.seed ^ 0xADF0), it),
+                    epoch_idx=it - 1,
                 )
                 jax.block_until_ready(tables[0])
                 elapsed = time.perf_counter() - t0
