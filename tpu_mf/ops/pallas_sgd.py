@@ -87,7 +87,13 @@ def prepare_cells(
     """Bin shuffled ratings into (user-tile, item-tile) cells, pad each cell
     to whole SUB-batches (B/8), pack 8 sub-batches per batch within each
     user-tile group, and order batches by gu so theta-tile visits are
-    consecutive."""
+    consecutive.
+
+    Fully vectorized (no per-cell Python loop): each rating's destination
+    (batch, row, column) slot is computed with cumsum arithmetic and the
+    plan arrays are filled with one flat scatter — 100M-rating plans build
+    in tens of seconds (argsort-bound) instead of minutes.
+    """
     assert batch_size % 8 == 0
     sub = batch_size // 8
     n_gu = cdiv(ds.nu, tile_u)
@@ -114,31 +120,26 @@ def prepare_cells(
     GU = np.zeros(nb_total, np.int32)
     GV = np.zeros((nb_total, 8), np.int32)
 
-    src = np.concatenate([[0], np.cumsum(counts)])
-    base = 0
-    for g in range(n_gu):
-        GU[base : base + int(nb_per_group[g])] = g
-        sb = 0  # sub-block cursor within this group
-        for j in range(n_gv):
-            c = g * n_gv + j
-            n = int(counts[c])
-            if n == 0:
-                continue
-            s = src[c]
-            ul = (u[s : s + n] % tile_u).astype(np.int32)
-            vl = (v[s : s + n] % tile_v).astype(np.int32)
-            for s0 in range(0, n, sub):
-                m = min(sub, n - s0)
-                b = base + sb // 8
-                col = sb % 8
-                U[b, :m, col] = ul[s0 : s0 + m]
-                V[b, :m, col] = vl[s0 : s0 + m]
-                R[b, :m, col] = r[s + s0 : s + s0 + m]
-                W[b, :m, col] = 1.0
-                GV[b, col] = j
-                sb += 1
-        base += int(nb_per_group[g])
-    assert base == nb_total
+    src = np.concatenate([[0], np.cumsum(counts)])          # per-cell start
+    sb_cs = np.concatenate([[0], np.cumsum(sb_per_cell)])   # per-cell sb base
+    base = np.concatenate([[0], np.cumsum(nb_per_group)])   # per-group batch
+    GU[:] = np.repeat(
+        np.arange(n_gu, dtype=np.int32), nb_per_group.astype(np.int64)
+    )
+
+    # destination of each (sorted) rating
+    l = np.arange(len(u), dtype=np.int64) - src[cell]        # index in cell
+    g = cell // n_gv                                         # user-tile group
+    sb_w = (sb_cs[cell] - sb_cs[g * n_gv]) + l // sub        # sb within group
+    b = base[g] + sb_w // 8
+    col = sb_w % 8
+    pos = l % sub
+    flat = (b * sub + pos) * 8 + col
+    U.reshape(-1)[flat] = (u % tile_u).astype(np.int32)
+    V.reshape(-1)[flat] = (v % tile_v).astype(np.int32)
+    R.reshape(-1)[flat] = r
+    W.reshape(-1)[flat] = 1.0
+    GV.reshape(-1)[b * 8 + col] = (cell % n_gv).astype(np.int32)
     return CellPlan(
         u=U, v=V, r=R, w=W, gu=GU, gv=GV,
         tile_u=tile_u, tile_v=tile_v, n_gu=n_gu, n_gv=n_gv, n_real=len(ds),

@@ -132,32 +132,31 @@ def prepare_cells_packed(
     GV = np.zeros((nb_total, 8), np.int32)
     GD = np.broadcast_to(np.arange(8, dtype=np.int32) % P, (nb_total, 8)).copy()
 
+    # Fully vectorized destination computation (see prepare_cells): each
+    # rating's (batch, row, column) slot follows from cumsum arithmetic over
+    # the (group, delta-class, item-tile) bucket sizes; one flat scatter
+    # fills the plan.
     src = np.concatenate([[0], np.cumsum(counts)])
-    base = 0
-    for g in range(n_gu):
-        GU[base : base + int(nb_per_group[g])] = g
-        for d in range(P):
-            sb = 0  # sub-block cursor within this (group, delta) class
-            for j in range(n_gv):
-                c = (g * P + d) * n_gv + j
-                n = int(counts[c])
-                if n == 0:
-                    continue
-                s = src[c]
-                ul = (u[s : s + n] % tile_u).astype(np.int32)
-                vl = (v[s : s + n] % tile_v).astype(np.int32)
-                for s0 in range(0, n, sub):
-                    mreal = min(sub, n - s0)
-                    b = base + sb // cpc
-                    col = d + (sb % cpc) * P
-                    U[b, :mreal, col] = ul[s0 : s0 + mreal]
-                    V[b, :mreal, col] = vl[s0 : s0 + mreal]
-                    R[b, :mreal, col] = r[s + s0 : s + s0 + mreal]
-                    W[b, :mreal, col] = 1.0
-                    GV[b, col] = j
-                    sb += 1
-        base += int(nb_per_group[g])
-    assert base == nb_total
+    sb_cs = np.concatenate([[0], np.cumsum(sb_per_cell)])
+    base = np.concatenate([[0], np.cumsum(nb_per_group)])
+    GU[:] = np.repeat(
+        np.arange(n_gu, dtype=np.int32), nb_per_group.astype(np.int64)
+    )
+
+    l = np.arange(len(u), dtype=np.int64) - src[cell]   # index within bucket
+    cls = cell // n_gv                                   # (group, delta) class
+    g = cls // P
+    d = (cls % P).astype(np.int64)
+    sbc = (sb_cs[cell] - sb_cs[cls * n_gv]) + l // sub   # sb within class
+    b = base[g] + sbc // cpc
+    col = d + (sbc % cpc) * P
+    pos = l % sub
+    flat = (b * sub + pos) * 8 + col
+    U.reshape(-1)[flat] = (u % tile_u).astype(np.int32)
+    V.reshape(-1)[flat] = (v % tile_v).astype(np.int32)
+    R.reshape(-1)[flat] = r
+    W.reshape(-1)[flat] = 1.0
+    GV.reshape(-1)[b * 8 + col] = (cell % n_gv).astype(np.int32)
     return PackedPlan(
         u=U, v=V, r=R, w=W, gu=GU, gv=GV, gd=GD,
         tile_u=tile_u, tile_v=tile_v, n_gu=n_gu, n_gv=n_gv,
