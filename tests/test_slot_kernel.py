@@ -1,0 +1,134 @@
+"""Slot-major kernel: plan integrity, pack/unpack round-trip, parity with
+the XLA kernel on conflict-free data, and convergence with duplicates."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_mf.data.coo import RatingsCOO, synthetic_ratings
+from tpu_mf.models.mf import init_mf, rmse
+from tpu_mf.ops.pallas_sgd_slot import (
+    SlotEpochRunner,
+    pack_params_slot,
+    prepare_cells_slot,
+    slot_eligible,
+    unpack_params_slot,
+)
+from tpu_mf.ops.sgd import sgd_epoch
+
+
+@pytest.mark.parametrize("pack", [2, 4, 8])
+def test_slot_plan_integrity(pack):
+    """Every rating appears exactly once, in the right tile/slot/delta."""
+    ds = synthetic_ratings(300, 200, 8000, rank=3, seed=0, zipf=0.8)
+    tile_u = tile_v = 16 * pack
+    plan = prepare_cells_slot(ds, tile_u, tile_v, sub=16, seed=1, pack=pack)
+    P = pack
+    rows_u, rows_v = tile_u // P, tile_v // P
+    got = {}
+    nb, sub, _ = plan.u.shape
+    for b in range(nb):
+        for s in range(sub):
+            for lane in range(8 * P):
+                ul = plan.u[b, s, lane]
+                if ul == rows_u:  # sentinel
+                    continue
+                k, j = lane // P, lane % P
+                d = k % P
+                gu, gv = plan.gu[b], plan.gv[b, k]
+                u = gu * tile_u + j + P * ul
+                v = gv * tile_v + ((j + d) % P) + P * plan.v[b, s, lane]
+                key = (u, v, round(float(plan.r[b, s, lane]), 4))
+                got[key] = got.get(key, 0) + 1
+    want = {}
+    for u, v, r in zip(ds.u, ds.v, ds.r):
+        key = (int(u), int(v), round(float(r), 4))
+        want[key] = want.get(key, 0) + 1
+    assert got == want
+
+
+def test_slot_pack_roundtrip():
+    params = init_mf(jax.random.PRNGKey(0), 500, 300, 8, gb=3.3)
+    ds = RatingsCOO(
+        u=np.arange(100) % 500, v=np.arange(100) % 300,
+        r=np.full(100, 3.0, np.float32), nu=500, nv=300,
+    )
+    plan = prepare_cells_slot(ds, 128, 128, sub=16, seed=0, pack=8)
+    t, p = pack_params_slot(params, plan)
+    back = unpack_params_slot(t, p, 500, 300, 8, 3.3, 128, 128, 8)
+    np.testing.assert_allclose(back.theta, params.theta, atol=0)
+    np.testing.assert_allclose(back.phi, params.phi, atol=0)
+    np.testing.assert_allclose(back.bu, params.bu, atol=0)
+    np.testing.assert_allclose(back.bv, params.bv, atol=0)
+    # slot-major invariant: physical row block j populates ONLY slot j
+    t3 = np.asarray(t).reshape(-1, 8, 16)  # (rows, slot, m)
+    rows_u = 128 // 8
+    for j in range(8):
+        blk = t3[j * rows_u : (j + 1) * rows_u]          # first tile, seg j
+        other = np.delete(blk, j, axis=1)
+        assert not other.any(), f"segment {j} leaks into other slots"
+
+
+@pytest.mark.parametrize("pack,scatter_dg", [(2, False), (8, False), (8, True)])
+def test_slot_matches_xla_on_unique_rows(pack, scatter_dg):
+    """One rating per user and per item => no conflicts, no decay coupling:
+    the slot kernel must match the XLA batched kernel exactly (fp32)."""
+    n = 256
+    rng = np.random.default_rng(0)
+    pu = rng.permutation(n)
+    pv = rng.permutation(n)
+    ds = RatingsCOO(
+        u=pu, v=pv, r=(rng.random(n) * 4 + 1).astype(np.float32),
+        nu=n, nv=n,
+    )
+    dim = 8 if pack == 8 else 30
+    params = init_mf(jax.random.PRNGKey(1), n, n, dim, gb=3.0)
+    eta, lam = 0.05, 0.02
+
+    runner = SlotEpochRunner(
+        ds, tile_u=16 * pack, tile_v=16 * pack, sub=8, seed=2,
+        mxu="float32", interpret=True, theta_groups=8, phi_groups=8,
+        dim=dim, scatter_dg=scatter_dg,
+    )
+    tables = runner.pad(params)
+    tables = runner.epoch(tables, eta, lam, float(params.gb))
+    got = runner.trim(tables)
+
+    u, v, r = (jnp.asarray(ds.u), jnp.asarray(ds.v), jnp.asarray(ds.r))
+    w = jnp.ones_like(r)
+    want = sgd_epoch(
+        params,
+        (u[None], v[None], r[None], w[None]),
+        jnp.float32(eta), jnp.float32(lam),
+    )
+    np.testing.assert_allclose(got.theta, want.theta, atol=2e-5, rtol=0)
+    np.testing.assert_allclose(got.phi, want.phi, atol=2e-5, rtol=0)
+    np.testing.assert_allclose(got.bu, want.bu, atol=2e-5, rtol=0)
+    np.testing.assert_allclose(got.bv, want.bv, atol=2e-5, rtol=0)
+
+
+def test_slot_converges_with_duplicates():
+    ds = synthetic_ratings(400, 250, 12000, rank=3, seed=3, zipf=0.8)
+    dim = 8
+    params = init_mf(jax.random.PRNGKey(2), ds.nu, ds.nv, dim,
+                     gb=ds.mean_rating())
+    runner = SlotEpochRunner(
+        ds, tile_u=64, tile_v=64, sub=16, seed=4, mxu="float32",
+        interpret=True, n_plans=2, dim=dim,
+    )
+    t = runner.pad(params)
+    before = float(rmse(params, ds))
+    for it in range(3):
+        t = runner.epoch(t, 0.04, 0.01, float(params.gb), epoch_idx=it)
+    after = float(rmse(runner.trim(t), ds))
+    # the packed kernel reaches 0.5223 from 0.5569 on this config — the
+    # slot kernel matches it to 5e-5; gate on the same progress.
+    assert after < before - 0.03, (before, after)
+
+
+def test_slot_eligibility():
+    p = init_mf(jax.random.PRNGKey(0), 69878, 10677, 8, gb=3.0)
+    assert slot_eligible(p)
+    p64 = init_mf(jax.random.PRNGKey(0), 1000, 1000, 64, gb=3.0)
+    assert not slot_eligible(p64)  # dim 64 has no slot packing

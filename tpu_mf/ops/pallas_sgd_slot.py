@@ -1,0 +1,645 @@
+"""Slot-major fused Pallas SGD epoch kernel: P ratings per sublane row.
+
+Fourth-generation small-rank kernel. The lane-packed kernel
+(ops/pallas_sgd_packed.py) still spends most of its step on elementwise VPU
+work over (B/8, 128) arrays in which each sublane row carries ONE rating
+that occupies a single m = 128/P lane slot — at P=8, 7/8 of every
+mid-chain elementwise op (pred, err, rhs construction, masks) is wasted on
+empty lanes. Measured v5e ablations: the step is compute-bound (~3.4
+ns/rating at d8), not DMA- or floor-bound.
+
+Here each sublane row carries P ratings, one per slot, so every lane of
+every mid-chain op does useful work (P-fold reduction). The enabling trick
+is a **slot-major stacked table layout**: table row ``id`` lives at physical
+row ``(id % P) * rows + (id % tile) // P`` of its tile with data ONLY in
+slot ``id % P``'s lanes (other lanes zero). Then
+
+* a multi-row gather ``t[s] = sum_j table[phys(id_{s,j})]`` — one one-hot
+  matmul whose lhs rows have P ones — lands each rating's data in its own
+  slot with NO masking (the layout pre-masks the table);
+* the one-hot is built with ONE compare per side: a tiny (sub, P) @ (P,
+  TILE) f32 matmul broadcasts each lane's segment-local comparand, then
+  ``iota % rows == comparand`` (per-rating cost rows = TILE/P compares,
+  same as the packed kernel);
+* scatter garbage (a rhs row's other-slot lanes hitting another slot's
+  physical row) is erased by ONE constant mask multiply folded into the
+  m_keep apply mask.
+
+Slot alignment constraints are host-side plan construction, as in the
+packed kernel: rating (u, v) goes to slot j = u %% P of a column whose
+delta class is (v - u) %% P (static lane rolls align item slots onto user
+slots). Per-slot ratings/bias/weights broadcast to their slot's lanes via
+tiny (sub, P) @ (P, 128) one-hot matmuls. Geometric per-occurrence decay,
+adaptive theta/phi grouping, deferred item apply, and the resident item
+table all match the packed kernel. P in {2, 4, 8} (dim <= 62).
+
+Reference cost model being beaten: src/mf.h:94-109 (~10*dim flops + 4 row
+accesses per rating, CPU memory-bound).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_mf.data.coo import RatingsCOO
+from tpu_mf.models.mf import MFParams
+from tpu_mf.ops.pallas_sgd import (
+    LANES,
+    UV_BASE,
+    UV_SHIFT,
+    _apply_flags,
+    _dup_stats,
+    cdiv,
+)
+from tpu_mf.ops.pallas_sgd_packed import packing_factor
+
+
+class SlotPlan(NamedTuple):
+    """Slot-major epoch layout. A batch = 8 columns x sub rows x P slots;
+    lane k*P+j of row s is column k's slot-j rating."""
+
+    u: np.ndarray    # (NB, sub, 8P) int32 segment-local packed-row ids
+    v: np.ndarray    # (NB, sub, 8P) int32; sentinel = rows_v
+    r: np.ndarray    # (NB, sub, 8P) float32
+    gu: np.ndarray   # (NB,) int32 user-tile per batch
+    gv: np.ndarray   # (NB, 8) int32 item-tile per column
+    tile_u: int
+    tile_v: int
+    sub: int
+    n_gu: int
+    n_gv: int
+    n_real: int
+    pack: int
+
+
+def prepare_cells_slot(
+    ds: RatingsCOO,
+    tile_u: int,
+    tile_v: int,
+    sub: int,
+    seed: int,
+    pack: int,
+) -> SlotPlan:
+    """Bucket shuffled ratings by (user-tile, delta, item-tile, slot) and
+    fill slot-major columns; fully vectorized cumsum+scatter fill."""
+    P = pack
+    assert tile_u % P == 0 and tile_v % P == 0 and 8 % P == 0
+    rows_u = tile_u // P
+    rows_v = tile_v // P
+    n_gu = cdiv(ds.nu, tile_u)
+    n_gv = cdiv(ds.nv, tile_v)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(ds))
+    u, v, r = ds.u[perm], ds.v[perm], ds.r[perm]
+
+    g = u // tile_u
+    gv = v // tile_v
+    j = u % P
+    d = (v - u) % P
+    cell = ((g * P + d) * n_gv + gv).astype(np.int64)   # column class + tile
+    bucket = cell * P + j
+    order = np.argsort(bucket, kind="stable")
+    u, v, r, bucket = u[order], v[order], r[order], bucket[order]
+    counts = np.bincount(bucket, minlength=n_gu * P * n_gv * P)
+    # A cell's columns hold all P slots; its column count is driven by its
+    # fullest slot.
+    cols_per_cell = cdiv_np(counts.reshape(-1, P).max(1), sub)
+    cpc = 8 // P
+    cols_per_class = cols_per_cell.reshape(n_gu, P, n_gv).sum(2)
+    nb_per_group = np.maximum(
+        1, cdiv_np(cols_per_class, cpc).max(1)
+    ).astype(np.int64)
+    nb_total = int(nb_per_group.sum())
+
+    U = np.full((nb_total, sub, 8 * P), rows_u, np.int32)   # sentinel
+    V = np.full((nb_total, sub, 8 * P), rows_v, np.int32)
+    R = np.zeros((nb_total, sub, 8 * P), np.float32)
+    GU = np.zeros(nb_total, np.int32)
+    GV = np.zeros((nb_total, 8), np.int32)
+
+    src = np.concatenate([[0], np.cumsum(counts)])
+    col_cs = np.concatenate([[0], np.cumsum(cols_per_cell)])
+    base = np.concatenate([[0], np.cumsum(nb_per_group)])
+    GU[:] = np.repeat(np.arange(n_gu, dtype=np.int32), nb_per_group)
+
+    l = np.arange(len(u), dtype=np.int64) - src[bucket]   # index in bucket
+    cellv = bucket // P
+    cls = cellv // n_gv                                   # (group, delta)
+    gg = cls // P
+    dd = (cls % P).astype(np.int64)
+    jj = (bucket % P).astype(np.int64)
+    col_in_class = (col_cs[cellv] - col_cs[cls * n_gv]) + l // sub
+    b = base[gg] + col_in_class // cpc
+    kcol = dd + (col_in_class % cpc) * P
+    lane = kcol * P + jj
+    row = l % sub
+    flat = (b * sub + row) * (8 * P) + lane
+    U.reshape(-1)[flat] = ((u % tile_u) // P).astype(np.int32)
+    V.reshape(-1)[flat] = ((v % tile_v) // P).astype(np.int32)
+    R.reshape(-1)[flat] = r
+    GV.reshape(-1)[b * 8 + kcol] = (cellv % n_gv).astype(np.int32)
+    return SlotPlan(
+        u=U, v=V, r=R, gu=GU, gv=GV,
+        tile_u=tile_u, tile_v=tile_v, sub=sub, n_gu=n_gu, n_gv=n_gv,
+        n_real=len(ds), pack=P,
+    )
+
+
+def cdiv_np(a, b):
+    return -(-a // b)
+
+
+def pack_params_slot(
+    params: MFParams, plan: SlotPlan
+) -> Tuple[jax.Array, jax.Array]:
+    """Slot-major stacked tables: table row ``id`` at physical row
+    (id // tile)*tile + (id % P)*rows + (id % tile)//P, data in slot
+    id % P's lanes only."""
+    P = plan.pack
+    m = LANES // P
+    dim = params.theta.shape[1]
+    assert dim + 2 <= m
+
+    def pack(fac, bias, tile, total_rows):
+        n = fac.shape[0]
+        ids = np.arange(n)
+        rows = tile // P
+        phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
+        slot = ids % P
+        fused = jnp.concatenate([fac, bias[:, None]], axis=1)
+        fused = jnp.pad(fused, ((0, 0), (0, m - fused.shape[1])))
+        out = jnp.zeros((total_rows, P, m), jnp.float32)
+        out = out.at[phys, slot].set(fused.astype(jnp.float32))
+        return out.reshape(total_rows, LANES)
+
+    return (
+        pack(params.theta, params.bu, plan.tile_u, plan.n_gu * plan.tile_u),
+        pack(params.phi, params.bv, plan.tile_v, plan.n_gv * plan.tile_v),
+    )
+
+
+def unpack_params_slot(
+    theta_s, phi_s, nu, nv, dim, gb, tile_u, tile_v, pack
+) -> MFParams:
+    P = pack
+    m = LANES // P
+
+    def unpack(tab, n, tile):
+        ids = np.arange(n)
+        rows = tile // P
+        phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
+        slot = ids % P
+        t3 = tab.reshape(-1, P, m)
+        fused = t3[phys, slot]
+        return fused[:, :dim], fused[:, dim]
+
+    th, bu = unpack(theta_s, nu, tile_u)
+    ph, bv = unpack(phi_s, nv, tile_v)
+    return MFParams(theta=th, phi=ph, bu=bu, bv=bv,
+                    gb=jnp.asarray(gb, jnp.float32))
+
+
+def _slot_kernel(
+    # scalar prefetch
+    gu_ref, gv_ref, ap_ref, hyper_ref,
+    # blocked inputs
+    uv_ref, uvt_ref, r_ref, theta_ref,
+    # HBM-resident input (aliased with the resident output)
+    phi_hbm,
+    # outputs
+    theta_out, phi_out,
+    # scratch
+    acc, sem,
+    *, tile_u: int, tile_v: int, sub: int, dim: int, pack: int,
+    mxu_dtype, theta_groups: int, phi_groups: int, scatter_dg: bool = False,
+):
+    P = pack
+    m = LANES // P
+    rows_u = tile_u // P
+    rows_v = tile_v // P
+    eta = hyper_ref[0]
+    lam = hyper_ref[1]
+    gb = hyper_ref[2]
+
+    i = pl.program_id(0)
+    prev = jnp.maximum(i - 1, 0)
+    new_gu = (i == 0) | (gu_ref[i] != gu_ref[prev])
+
+    @pl.when(i == 0)
+    def _():
+        cp = pltpu.make_async_copy(phi_hbm, phi_out, sem)
+        cp.start()
+        cp.wait()
+        if phi_groups < 8:
+            acc[:] = jnp.zeros_like(acc)
+
+    @pl.when(new_gu)
+    def _():
+        theta_out[:] = theta_ref[:]
+
+    uv3 = uv_ref[0]    # (sub, 8P) packed local ids
+    uvt3 = uvt_ref[0]  # (8P, sub)
+    r3 = r_ref[0]      # (sub, 8P)
+    theta = theta_out[:]  # (TILE_U, 128) slot-major state
+
+    # Lane-role constants.
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    slot_lane = lane >> (m.bit_length() - 1)
+    inslot = lane - slot_lane * m
+    m_fac = (inslot < dim).astype(jnp.float32)
+    m_bias = (inslot == dim).astype(jnp.float32)
+    m_cnt = (inslot == dim + 1).astype(jnp.float32)
+    m_keep = m_fac + m_bias
+    # Count-broadcast: (d @ CB)[:, l] == d[:, slot(l)*m + dim + 1].
+    c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
+    CB = (c_iota == slot_lane * m + (dim + 1)).astype(jnp.float32)
+    # Slot-sum broadcast: (S @ SS)[:, l] = sum over l' in slot(l) of S[:, l'].
+    SS = (slot_lane == (c_iota >> (m.bit_length() - 1))).astype(jnp.float32)
+    # Per-slot scalar broadcast: (x (sub,P) @ E)[:, l] = x[:, slot(l)].
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (P, LANES), 0)
+    E = (p_iota == slot_lane).astype(jnp.float32)
+    # Narrow per-segment one-hot iotas; segments concatenate at rows_*-lane
+    # boundaries (128-aligned at tile = 128*P, where the concat is free).
+    iota_ru = jax.lax.broadcasted_iota(jnp.int32, (sub, rows_u), 1)
+    iota_rv = jax.lax.broadcasted_iota(jnp.int32, (sub, rows_v), 1)
+    iota_rut = jax.lax.broadcasted_iota(jnp.int32, (rows_u, sub), 0)
+    iota_rvt = jax.lax.broadcasted_iota(jnp.int32, (rows_v, sub), 0)
+    # Scatter-garbage eraser folded with the keep mask: physical row block
+    # j keeps only slot j's [factors | bias] lanes.
+    rseg_u = jax.lax.broadcasted_iota(jnp.int32, (tile_u, 1), 0) // rows_u
+    MK_u = (rseg_u == slot_lane).astype(jnp.float32) * m_keep
+    MC_u = (rseg_u == slot_lane).astype(jnp.float32) * m_cnt
+    rseg_v = jax.lax.broadcasted_iota(jnp.int32, (tile_v, 1), 0) // rows_v
+    MK_v = (rseg_v == slot_lane).astype(jnp.float32) * m_keep
+    MS_v = (rseg_v == slot_lane).astype(jnp.float32) * (m_keep + m_cnt)
+
+    lameta = 1.0 - eta * lam
+    ln_lameta = jnp.log(lameta)
+    tg_w = 8 // theta_groups
+    pg_w = 8 // phi_groups
+    theta_mx = None
+    d_theta_g = None
+    pending = []
+    for k in range(8):
+        if k % tg_w == 0:
+            theta_mx = theta.astype(mxu_dtype)
+            d_theta_g = jnp.zeros((tile_u, LANES), jnp.float32)
+
+        off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
+        delta = k % P  # static: columns are delta-classed by the plan
+        phi = phi_out[pl.ds(off, tile_v), :]
+        phi_mx = phi.astype(mxu_dtype)
+
+        uc = uv3[:, k * P : (k + 1) * P]          # (sub, P) packed ids
+        ut = uvt3[k * P : (k + 1) * P, :]          # (P, sub)
+        u_i = uc >> UV_SHIFT
+        v_i = uc & (UV_BASE - 1)
+        ut_i = ut >> UV_SHIFT
+        vt_i = ut & (UV_BASE - 1)
+
+        # Multi-hot gather lhs (a row has up to P ones, one per segment):
+        # per-segment narrow compares concatenated at segment boundaries.
+        # Item segment sv holds slot (sv - delta) %% P's id (the plan's
+        # delta-class alignment).
+        oh_u = jnp.concatenate(
+            [
+                (iota_ru == u_i[:, j : j + 1]).astype(mxu_dtype)
+                for j in range(P)
+            ],
+            axis=1,
+        )
+        oh_v = jnp.concatenate(
+            [
+                (iota_rv == v_i[:, (sv - delta) % P : (sv - delta) % P + 1]
+                 ).astype(mxu_dtype)
+                for sv in range(P)
+            ],
+            axis=1,
+        )
+        if not scatter_dg:
+            # Pre-transposed scatter one-hots from the host-transposed ids.
+            oht_u = jnp.concatenate(
+                [
+                    (iota_rut == ut_i[j : j + 1, :]).astype(mxu_dtype)
+                    for j in range(P)
+                ],
+                axis=0,
+            )
+            oht_v = jnp.concatenate(
+                [
+                    (iota_rvt
+                     == vt_i[(sv - delta) % P : (sv - delta) % P + 1, :]
+                     ).astype(mxu_dtype)
+                    for sv in range(P)
+                ],
+                axis=0,
+            )
+
+        # Slot-major gathers: each slot's data arrives pre-masked by the
+        # table layout; item slots roll from v%P = (j+delta)%P onto j.
+        t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
+        p0 = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
+        p = pltpu.roll(p0, ((P - delta) % P) * m, 1) if delta else p0
+
+        # Per-slot broadcast of ratings. No weight stream is needed:
+        # padded slots carry the sentinel id, whose one-hot column is all
+        # zero, so their err/cnt contributions die in the scatter matmuls
+        # and their garbage pred (= gb) is bounded.
+        r_b = jnp.dot(
+            r3[:, k * P : (k + 1) * P], E, preferred_element_type=jnp.float32
+        )
+
+        # pred per slot: rowsum within the slot via the SS matmul.
+        q = p * m_fac + m_bias
+        S = t * q + p * m_bias
+        pred = jnp.dot(S, SS, preferred_element_type=jnp.float32) + gb
+        err = eta * (r_b - pred)
+
+        rhs_u = (err * q + m_cnt).astype(mxu_dtype)
+        rhs_v0 = err * (t * m_fac + m_bias) + m_cnt
+        rhs_v = (
+            pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
+        ).astype(mxu_dtype)
+        # Scatter; other-slot garbage lanes are erased by MK_* at apply.
+        if scatter_dg:
+            # Contract the sublane axis of the GATHER one-hot directly —
+            # no transposed one-hot construction, no transposed id stream.
+            dg = (((0,), (0,)), ((), ()))
+            d_theta_g += jax.lax.dot_general(
+                oh_u, rhs_u, dg, preferred_element_type=jnp.float32
+            )
+            d_phi = jax.lax.dot_general(
+                oh_v, rhs_v, dg, preferred_element_type=jnp.float32
+            )
+        else:
+            d_theta_g += jnp.dot(
+                oht_u, rhs_u, preferred_element_type=jnp.float32
+            )
+            d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+
+        if phi_groups == 8:
+            k_v = jnp.dot(
+                d_phi * MS_v, CB, preferred_element_type=jnp.float32
+            )
+            phi_out[pl.ds(off, tile_v), :] = (
+                phi * jnp.exp(k_v * ln_lameta) + d_phi * MK_v
+            )
+        else:
+            pending.append((k, off, phi, d_phi))
+            if k % pg_w == pg_w - 1:
+                for kk, off_, phi_, dphi_ in pending:
+                    acc[pl.ds(off_, tile_v), :] += dphi_ * MS_v
+
+                    @pl.when(ap_ref[8 * i + kk] == 1)
+                    def _(off_=off_, phi_=phi_):
+                        a = acc[pl.ds(off_, tile_v), :]
+                        k_v = jnp.dot(
+                            a, CB, preferred_element_type=jnp.float32
+                        )
+                        phi_out[pl.ds(off_, tile_v), :] = (
+                            phi_ * jnp.exp(k_v * ln_lameta) + a * m_keep
+                        )
+                        acc[pl.ds(off_, tile_v), :] = jnp.zeros_like(a)
+
+                pending = []
+
+        if k % tg_w == tg_w - 1:
+            k_u = jnp.dot(
+                d_theta_g * MC_u, CB, preferred_element_type=jnp.float32
+            )
+            theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * MK_u
+
+    theta_out[:] = theta
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=(
+        "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
+        "interpret", "theta_groups", "phi_groups", "scatter_dg",
+    ),
+)
+def _run_slot_epoch(
+    theta_s, phi_s,
+    gu, gv, ap, uv, uvt, r, hyper,
+    *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
+    interpret=False, theta_groups=8, phi_groups=8, scatter_dg=False,
+):
+    assert theta_groups in (1, 2, 4, 8), theta_groups
+    assert phi_groups in (1, 2, 4, 8), phi_groups
+    nb = uv.shape[0]
+    gv = gv.reshape(-1)
+    ap = ap.reshape(-1)
+    kernel = functools.partial(
+        _slot_kernel,
+        tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
+        mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
+        phi_groups=phi_groups, scatter_dg=scatter_dg,
+    )
+    lanes8 = 8 * pack
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # gu, gv, ap, hyper
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, sub, lanes8), lambda i, a, b, c, h: (i, 0, 0)),
+            pl.BlockSpec((1, lanes8, sub), lambda i, a, b, c, h: (i, 0, 0)),
+            pl.BlockSpec((1, sub, lanes8), lambda i, a, b, c, h: (i, 0, 0)),
+            pl.BlockSpec((tile_u, LANES), lambda i, a, b, c, h: (a[i], 0)),
+            pl.BlockSpec(memory_space=pl.ANY),   # phi (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_u, LANES), lambda i, a, b, c, h: (a[i], 0)),
+            pl.BlockSpec(
+                (n_gv * tile_v, LANES), lambda i, a, b, c, h: (0, 0)
+            ),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_gv * tile_v, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    theta_s, phi_s = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gu * tile_u, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_gv * tile_v, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        input_output_aliases={7: 0, 8: 1},
+        interpret=interpret,
+    )(gu, gv, ap, hyper, uv, uvt, r, theta_s, phi_s)
+    return theta_s, phi_s
+
+
+class SlotEpochRunner:
+    """Holds SlotPlans on device and runs slot-major fused epochs.
+
+    Drop-in counterpart of PackedEpochRunner for dim <= 62; a batch covers
+    8 * sub * P ratings. ``sub`` trades per-column fixed cost against cell
+    padding: denser datasets want larger sub."""
+
+    def __init__(
+        self,
+        ds: RatingsCOO,
+        tile_u: int | None = None,
+        tile_v: int | None = None,
+        sub: int | None = None,
+        seed: int = 0,
+        mxu: str = "bfloat16",
+        interpret: bool = False,
+        theta_groups=None,
+        phi_groups=None,
+        n_plans: int = 1,
+        dim: int | None = None,
+        pack: int | None = None,
+        scatter_dg: bool = False,
+    ):
+        if pack is None:
+            assert dim is not None, "pass dim= or pack="
+            pack = packing_factor(dim)
+        assert pack in (2, 4, 8), (
+            f"slot kernel needs pack in 2/4/8 (dim <= 62), got {pack}"
+        )
+        self.pack = pack
+        tile_u = tile_u or 128 * pack
+        tile_v = tile_v or 128 * pack
+        if sub is None:
+            # Target ~85% fill: sub close to the mean per-slot cell size.
+            cells = (
+                cdiv(ds.nu, tile_u) * cdiv(ds.nv, tile_v) * pack * pack
+            )
+            per_slot = len(ds) / cells
+            sub = 32
+            while sub < 512 and sub * 1.7 < per_slot:
+                sub *= 2
+        self.sub = sub
+        assert max(tile_u // pack, tile_v // pack) < UV_BASE
+        self.plans = [
+            prepare_cells_slot(ds, tile_u, tile_v, sub, seed + 7919 * p, pack)
+            for p in range(max(1, n_plans))
+        ]
+        self.plan = self.plans[0]
+        self.nu, self.nv = ds.nu, ds.nv
+        self.tile_u, self.tile_v = tile_u, tile_v
+        self.mxu = mxu
+        self.interpret = interpret
+        if theta_groups is not None:
+            assert theta_groups in (1, 2, 4, 8), theta_groups
+        if phi_groups is not None:
+            assert phi_groups in (1, 2, 4, 8), phi_groups
+        self.theta_groups = theta_groups
+        self.phi_groups = phi_groups
+        self.scatter_dg = scatter_dg
+        self._dup_max = None
+        self._vdup_max = None
+        if theta_groups is None:
+            stats = [
+                _dup_stats(self._col_ids(p.u, tile_u), tile_u)
+                for p in self.plans
+            ]
+            self._dup_max = {g: max(s[g] for s in stats) for g in (1, 2, 4, 8)}
+        if phi_groups is None:
+            stats = [
+                _dup_stats(self._col_ids(p.v, tile_v), tile_v)
+                for p in self.plans
+            ]
+            self._vdup_max = {g: max(s[g] for s in stats) for g in (1, 2, 4, 8)}
+        self.devs = []
+        self.flags = []
+        for plan in self.plans:
+            uv = plan.u * UV_BASE + plan.v
+            self.devs.append((
+                jnp.asarray(plan.gu),
+                jnp.asarray(plan.gv),
+                jnp.asarray(uv),
+                jnp.asarray(np.swapaxes(uv, 1, 2).copy()),
+                jnp.asarray(plan.r),
+            ))
+            self.flags.append({
+                g: jnp.asarray(_apply_flags(plan.gv, g)) for g in (1, 2, 4)
+            } | {8: jnp.ones_like(jnp.asarray(plan.gv))})
+        self.dev = self.devs[0]
+
+    def _col_ids(self, ids: np.ndarray, sentinel: int) -> np.ndarray:
+        """(NB, sub, 8P) segment-local ids -> (NB, sub*P, 8) full-local ids
+        for the duplicate-window statistics (sentinel rows map >= tile)."""
+        P = self.pack
+        nb, sub, _ = ids.shape
+        i4 = ids.reshape(nb, sub, 8, P)
+        j = np.arange(P, dtype=ids.dtype)
+        full = i4 * P + j  # local id = packed_row * P + slot
+        return np.swapaxes(full, 2, 3).reshape(nb, sub * P, 8)
+
+    @property
+    def n_slots(self) -> int:
+        return int(self.plan.u.size)
+
+    def pick_theta_groups(self, eta: float) -> int:
+        """See pallas_sgd.PallasEpochRunner.pick_theta_groups."""
+        if self.theta_groups is not None:
+            return self.theta_groups
+        for g in (1, 2, 4, 8):
+            if eta * self._dup_max[g] <= 0.2:
+                return g
+        return 8
+
+    def pick_phi_groups(self, eta: float) -> int:
+        """See pallas_sgd_packed.PackedEpochRunner.pick_phi_groups."""
+        if self.phi_groups is not None:
+            return self.phi_groups
+        for g in (1, 2, 4, 8):
+            if eta * self._vdup_max[g] <= 0.2:
+                return g
+        return 8
+
+    def epoch(self, tables, eta: float, lam: float, gb: float,
+              epoch_idx: int = 0):
+        hyper = jnp.asarray([eta, lam, gb], jnp.float32)
+        plan_i = epoch_idx % len(self.plans)
+        pg = self.pick_phi_groups(eta)
+        gu, gv, uv, uvt, r = self.devs[plan_i]
+        return _run_slot_epoch(
+            tables[0], tables[1], gu, gv, self.flags[plan_i][pg],
+            uv, uvt, r, hyper,
+            tile_u=self.tile_u, tile_v=self.tile_v, sub=self.sub,
+            dim=self.dim, pack=self.pack,
+            n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
+            mxu=self.mxu, interpret=self.interpret,
+            theta_groups=self.pick_theta_groups(eta),
+            phi_groups=pg, scatter_dg=self.scatter_dg,
+        )
+
+    def pad(self, params: MFParams):
+        self.dim = params.theta.shape[1]
+        self.gb = float(params.gb)
+        return pack_params_slot(params, self.plan)
+
+    def trim(self, tables, dim: int | None = None) -> MFParams:
+        return unpack_params_slot(
+            tables[0], tables[1], self.nu, self.nv, dim or self.dim,
+            self.gb, self.tile_u, self.tile_v, self.pack,
+        )
+
+
+def slot_eligible(params: MFParams, batch_size: int = 8192) -> bool:
+    """Slot kernel needs dim <= 62 and the slot-major (unpacked-width) item
+    table + deferred scratch resident in VMEM."""
+    dim = params.theta.shape[1]
+    pack = packing_factor(dim)
+    if pack < 2:
+        return False
+    nv = params.phi.shape[0]
+    tile_v = 128 * pack
+    vmem_phi = cdiv(nv, tile_v) * tile_v * LANES * 4
+    return 2 * vmem_phi <= 64 * 1024 * 1024
