@@ -1,18 +1,35 @@
-"""Headline benchmark: rating updates/sec/chip for the fused SGD epoch kernel.
+"""Headline benchmark: rating updates/sec/chip for the fused SGD epoch kernels.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
 
 vs_baseline measures against the BASELINE.json north-star target of 1e9
 rating updates/sec/chip on TPU v5e (the reference publishes no numbers of its
-own — BASELINE.md). Config: an ML-10M-scale problem (nu=69878, nv=10677,
-10M ratings, rank 64 — BASELINE.json configs[2]) trained with the fused
-Pallas epoch kernel (tpu_mf/ops/pallas_sgd.py); counts only REAL ratings
-(cell padding excluded). Falls back to the XLA path off-TPU.
+own — BASELINE.md). Headline config: an ML-10M-scale problem (nu=69878,
+nv=10677, 10M ratings, rank 64 — BASELINE.json configs[2] shape) trained
+with the mega-resident fused kernel (tpu_mf/ops/pallas_sgd_mega.py, the
+production rank-64 path). "extra" records the rank-8 slot-major kernel
+(tpu_mf/ops/pallas_sgd_slot.py) on the same data — the small-rank
+production path. Counts only REAL ratings (cell padding excluded). Falls
+back to the XLA path off-TPU.
 """
 
 import json
 import time
+
+
+def _time_epochs(runner, params, eta, lam, reps=5):
+    import jax.numpy as jnp
+
+    tables = runner.pad(params)
+    gb = float(params.gb)
+    tables = runner.epoch(tables, eta, lam, gb)  # compile + warm
+    _ = float(jnp.sum(tables[0]))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        tables = runner.epoch(tables, eta, lam, gb, epoch_idx=i)
+    _ = float(jnp.sum(tables[0]))
+    return (time.perf_counter() - t0) / reps
 
 
 def main() -> None:
@@ -25,29 +42,33 @@ def main() -> None:
     nu, nv, dim = 69_878, 10_677, 64
     n = 10_000_000
     ds = synthetic_ratings(nu, nv, n, rank=8, noise=0.1, seed=0)
-    params = init_mf(jax.random.PRNGKey(0), nu, nv, dim, gb=ds.mean_rating())
     eta, lam = 0.02, 5e-3
 
     on_tpu = jax.default_backend() != "cpu"
+    extra = {}
     if on_tpu:
-        from tpu_mf.ops.pallas_sgd import PallasEpochRunner
+        from tpu_mf.ops.pallas_sgd_mega import MegaEpochRunner
+        from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner
 
-        runner = PallasEpochRunner(ds, tile_u=512, tile_v=512, batch=4096, seed=1)
-        tables = runner.pad(params)
-        gb = float(params.gb)
-        tables = runner.epoch(tables, eta, lam, gb)  # compile + warm
-        _ = float(jnp.sum(tables[0]))
-        reps = 5
-        t0 = time.perf_counter()
-        for _i in range(reps):
-            tables = runner.epoch(tables, eta, lam, gb)
-        _ = float(jnp.sum(tables[0]))
-        dt = (time.perf_counter() - t0) / reps
+        params = init_mf(jax.random.PRNGKey(0), nu, nv, dim,
+                         gb=ds.mean_rating())
+        runner = MegaEpochRunner(
+            ds, tile_u=384, tile_v=384, batch=8192, seed=1, dim=dim
+        )
+        dt = _time_epochs(runner, params, eta, lam)
         n_updates = runner.plan.n_real
-        name = "pallas-fused"
+        name = "mega-fused"
+        del runner
+
+        p8 = init_mf(jax.random.PRNGKey(0), nu, nv, 8, gb=ds.mean_rating())
+        r8 = SlotEpochRunner(ds, seed=1, dim=8)  # auto tile/sub
+        dt8 = _time_epochs(r8, p8, eta, lam)
+        extra["rank8_slot_updates_per_s"] = round(r8.plan.n_real / dt8)
     else:
         from tpu_mf.ops.sgd import sgd_epoch
 
+        params = init_mf(jax.random.PRNGKey(0), nu, nv, dim,
+                         gb=ds.mean_rating())
         u, v, r, w = ds.to_batches(4096, shuffle_seed=1)
         batches = tuple(jnp.asarray(x) for x in (u, v, r, w))
         params = sgd_epoch(params, batches, jnp.float32(eta), jnp.float32(lam))
@@ -62,18 +83,17 @@ def main() -> None:
         name = "xla-cpu-fallback"
 
     ups = n_updates / dt
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    f"rating updates/sec/chip (ML-10M scale, rank {dim}, {name})"
-                ),
-                "value": round(ups),
-                "unit": "updates/s",
-                "vs_baseline": round(ups / 1e9, 4),
-            }
-        )
-    )
+    out = {
+        "metric": (
+            f"rating updates/sec/chip (ML-10M scale, rank {dim}, {name})"
+        ),
+        "value": round(ups),
+        "unit": "updates/s",
+        "vs_baseline": round(ups / 1e9, 4),
+    }
+    if extra:
+        out["extra"] = extra
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

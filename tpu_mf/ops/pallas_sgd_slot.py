@@ -156,6 +156,47 @@ def cdiv_np(a, b):
     return -(-a // b)
 
 
+def _slot_bucket_counts(
+    ds: RatingsCOO, tile_u: int, tile_v: int, pack: int
+) -> np.ndarray:
+    """Per-(user-tile, delta, item-tile, slot) bucket sizes. Shuffle-
+    invariant, so the sub auto-tuner can run before any plan is built."""
+    P = pack
+    n_gu = cdiv(ds.nu, tile_u)
+    n_gv = cdiv(ds.nv, tile_v)
+    g = ds.u // tile_u
+    gv = ds.v // tile_v
+    d = (ds.v - ds.u) % P
+    bucket = (
+        ((g.astype(np.int64) * P + d) * n_gv + gv) * P + ds.u % P
+    )
+    return np.bincount(bucket, minlength=n_gu * P * n_gv * P)
+
+
+_SUB_CANDIDATES = (32, 48, 64, 96, 112, 128, 160, 192, 224, 256, 320, 384,
+                   448, 512)
+
+
+def pick_sub(counts: np.ndarray, pack: int) -> int:
+    """Column height maximizing throughput: fill from the exact bucket
+    sizes (cell columns quantize at its fullest slot) over a measured
+    per-slot cost model a + b/sub (larger sub amortizes per-column fixed
+    work: tile applies, broadcasts, rolls)."""
+    per_cell_max = counts.reshape(-1, pack).max(1)
+    n = int(counts.sum())
+    best, best_score = 128, -1.0
+    for sub in _SUB_CANDIDATES:
+        cols = cdiv_np(per_cell_max, sub)
+        slots = int(cols.sum()) * sub * pack
+        if slots == 0:
+            continue
+        fill = n / slots
+        score = fill / (1.2 + 46.0 / sub)  # v5e-measured per-slot model
+        if score > best_score:
+            best, best_score = sub, score
+    return best
+
+
 def pack_params_slot(
     params: MFParams, plan: SlotPlan
 ) -> Tuple[jax.Array, jax.Array]:
@@ -515,14 +556,9 @@ class SlotEpochRunner:
         tile_u = tile_u or 128 * pack
         tile_v = tile_v or 128 * pack
         if sub is None:
-            # Target ~85% fill: sub close to the mean per-slot cell size.
-            cells = (
-                cdiv(ds.nu, tile_u) * cdiv(ds.nv, tile_v) * pack * pack
+            sub = pick_sub(
+                _slot_bucket_counts(ds, tile_u, tile_v, pack), pack
             )
-            per_slot = len(ds) / cells
-            sub = 32
-            while sub < 512 and sub * 1.7 < per_slot:
-                sub *= 2
         self.sub = sub
         assert max(tile_u // pack, tile_v // pack) < UV_BASE
         self.plans = [

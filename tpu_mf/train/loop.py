@@ -172,15 +172,31 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFPar
     src/mf.h:37-44; rotation strictly improves on that).
     """
     from tpu_mf.ops.pallas_sgd import PallasEpochRunner
+    from tpu_mf.ops.pallas_sgd_mega import MegaEpochRunner, mega_eligible
     from tpu_mf.ops.pallas_sgd_packed import PackedEpochRunner, packed_eligible
+    from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner, slot_eligible
 
     n_plans = 2 if cfg.iters > 1 else 1  # between-epoch reshuffling
-    if packed_eligible(params, cfg.batch_size):
-        # Small rank: the lane-packed kernel (P rows per 128-lane register).
-        # B=8192 amortizes the per-step floor; the adaptive group picks keep
-        # the staleness window within the same envelope either way.
+    if slot_eligible(params, cfg.batch_size):
+        # Small rank: the slot-major kernel (P ratings per sublane row,
+        # slot-major stacked tables) — measured ~1.6x the packed kernel.
+        runner = SlotEpochRunner(
+            train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
+        )
+    elif packed_eligible(params, cfg.batch_size):
+        # Small rank but the slot-major item table exceeds VMEM: the
+        # lane-packed kernel (P rows per 128-lane register).
         runner = PackedEpochRunner(
             train_ds, batch=max(8192, cfg.batch_size), seed=cfg.seed,
+            n_plans=n_plans, dim=cfg.dim,
+        )
+    elif cfg.dim <= 126 and mega_eligible(params, 8192):
+        # Mid rank (63..126) with both tables VMEM-resident: the mega
+        # kernel at tile 384 (best measured rank-64 config, +14% over the
+        # blocked-tile base kernel).
+        runner = MegaEpochRunner(
+            train_ds, tile_u=384, tile_v=384,
+            batch=max(8192, cfg.batch_size), seed=cfg.seed,
             n_plans=n_plans, dim=cfg.dim,
         )
     else:
