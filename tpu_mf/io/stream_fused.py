@@ -90,9 +90,9 @@ class ShardStore:
 
     def close(self) -> None:
         if self._own:
-            for p in self.paths:
+            for name in os.listdir(self.workdir):
                 try:
-                    os.remove(p)
+                    os.remove(os.path.join(self.workdir, name))
                 except OSError:
                     pass
             try:
@@ -142,7 +142,17 @@ class FusedStreamTrainer:
         mxu: str = "bfloat16",
         interpret: bool = False,
         workdir: Optional[str] = None,
+        plan_cache: int = 2,
     ):
+        """``plan_cache`` = number of shuffled plan variants cached on disk
+        per shard (epochs rotate through them). Building a cell plan is
+        argsort-bound (seconds per 10M-rating shard), so rebuilding every
+        epoch dominated streamed epochs ~300x; cached device-ready plan
+        arrays load at disk speed instead. Costs ~1.3x the raw data size
+        per variant in the workdir. Two rotating shuffles still beat the
+        reference, which replays ONE fixed file order every epoch
+        (src/mf.h:37-44). plan_cache=0 disables (rebuild every epoch, a
+        fresh shuffle each time)."""
         self.store = ShardStore(
             path, tile_u=tile_u, mem_limit=mem_limit, workdir=workdir
         )
@@ -154,30 +164,63 @@ class FusedStreamTrainer:
         self.mxu, self.interpret = mxu, interpret
         self.n_gu = cdiv(self.nu, tile_u)
         self.n_gv = cdiv(self.nv, tile_v)
+        self.plan_cache = plan_cache
+
+    def _build_plan(self, s: int, seed_load: int, seed_plan: int):
+        ds = self.store.load(s, seed=seed_load)
+        if len(ds) == 0:
+            return None
+        plan = prepare_cells(
+            ds, self.tile_u, self.tile_v, self.batch, seed=seed_plan
+        )
+        plan = _pad_plan_nb(plan)
+        from tpu_mf.ops.pallas_sgd import UV_BASE
+
+        uv = plan.u * UV_BASE + plan.v
+        return (plan.gu, plan.gv, uv, plan.r)
 
     def _plans(self, epoch_idx: int) -> Iterator[tuple]:
         import jax.numpy as jnp
 
+        names = ("gu", "gv", "uv", "r")
         for s in range(self.store.n_shards):
-            ds = self.store.load(
-                s, seed=self.seed + 7919 * epoch_idx + 104729 * s
-            )
-            if len(ds) == 0:
-                continue
-            plan = prepare_cells(
-                ds, self.tile_u, self.tile_v, self.batch,
-                seed=self.seed ^ (epoch_idx * 65537 + s),
-            )
-            plan = _pad_plan_nb(plan)
-            from tpu_mf.ops.pallas_sgd import UV_BASE
-
-            uv = plan.u * UV_BASE + plan.v
+            if self.plan_cache > 0:
+                variant = epoch_idx % self.plan_cache
+                cpath = os.path.join(
+                    self.store.workdir, f"plan.{s:04d}.{variant}.npz"
+                )
+                if os.path.exists(cpath):
+                    z = np.load(cpath)
+                    arrs = tuple(z[k] for k in names)
+                else:
+                    built = self._build_plan(
+                        s,
+                        seed_load=self.seed + 7919 * variant + 104729 * s,
+                        seed_plan=self.seed ^ (variant * 65537 + s),
+                    )
+                    arrs = built if built is not None else tuple(
+                        np.empty(0) for _ in names
+                    )
+                    np.savez(cpath, **dict(zip(names, arrs)))
+                if arrs[0].size == 0:
+                    continue
+            else:
+                built = self._build_plan(
+                    s,
+                    seed_load=self.seed + 7919 * epoch_idx + 104729 * s,
+                    seed_plan=self.seed ^ (epoch_idx * 65537 + s),
+                )
+                if built is None:
+                    continue
+                arrs = built
+            gu, gv, uv, r = arrs
+            uv_d = jnp.asarray(uv)
+            # The transposed id stream is DERIVED on device (one XLA
+            # transpose) instead of stored/transferred — host->device bytes
+            # are the streamed path's bottleneck (1/3 saved).
             yield (
-                jnp.asarray(plan.gu),
-                jnp.asarray(plan.gv),
-                jnp.asarray(uv),
-                jnp.asarray(np.swapaxes(uv, 1, 2).copy()),
-                jnp.asarray(plan.r),
+                jnp.asarray(gu), jnp.asarray(gv), uv_d,
+                jnp.swapaxes(uv_d, 1, 2), jnp.asarray(r),
             )
 
     def pad(self, params: MFParams):

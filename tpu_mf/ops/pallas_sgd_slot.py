@@ -17,10 +17,11 @@ slot ``id % P``'s lanes (other lanes zero). Then
 * a multi-row gather ``t[s] = sum_j table[phys(id_{s,j})]`` — one one-hot
   matmul whose lhs rows have P ones — lands each rating's data in its own
   slot with NO masking (the layout pre-masks the table);
-* the one-hot is built with ONE compare per side: a tiny (sub, P) @ (P,
-  TILE) f32 matmul broadcasts each lane's segment-local comparand, then
-  ``iota % rows == comparand`` (per-rating cost rows = TILE/P compares,
-  same as the packed kernel);
+* the multi-hot is built as P narrow per-segment compares ``iota_rows ==
+  id_j`` concatenated at segment boundaries (128-lane-aligned at tile =
+  128*P, where lane concatenation is free) — per-rating cost rows =
+  TILE/P compare lanes, same as the packed kernel, with no comparand
+  matmuls;
 * scatter garbage (a rhs row's other-slot lanes hitting another slot's
   physical row) is erased by ONE constant mask multiply folded into the
   m_keep apply mask.
