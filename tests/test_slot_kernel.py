@@ -132,3 +132,30 @@ def test_slot_eligibility():
     assert slot_eligible(p)
     p64 = init_mf(jax.random.PRNGKey(0), 1000, 1000, 64, gb=3.0)
     assert not slot_eligible(p64)  # dim 64 has no slot packing
+
+
+def test_slot_gv_vmem_path_matches(monkeypatch):
+    """Huge-plan metadata path (gv/ap via blocked VMEM instead of SMEM
+    scalar prefetch) must be bit-identical to the SMEM path."""
+    import tpu_mf.ops.pallas_sgd_slot as mod
+
+    ds = synthetic_ratings(500, 300, 15000, rank=3, seed=9, zipf=0.8)
+    params = init_mf(jax.random.PRNGKey(3), ds.nu, ds.nv, 8,
+                     gb=ds.mean_rating())
+    kw = dict(tile_u=64, tile_v=64, sub=16, seed=11, mxu="float32",
+              interpret=True, dim=8)
+    a = SlotEpochRunner(ds, **kw)
+    ta = a.pad(params)
+    ta = a.epoch(ta, 0.04, 0.01, float(params.gb))
+    ga = a.trim(ta)
+
+    monkeypatch.setattr(mod, "GV_SMEM_LIMIT", 0)
+    mod._run_slot_epoch.clear_cache()
+    b = SlotEpochRunner(ds, **kw)
+    tb = b.pad(params)
+    tb = b.epoch(tb, 0.04, 0.01, float(params.gb))
+    gb_ = b.trim(tb)
+    mod._run_slot_epoch.clear_cache()
+    np.testing.assert_allclose(ga.theta, gb_.theta, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(ga.phi, gb_.phi, atol=1e-6, rtol=0)
+    np.testing.assert_allclose(ga.bu, gb_.bu, atol=1e-6, rtol=0)

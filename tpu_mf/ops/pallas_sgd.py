@@ -355,6 +355,7 @@ def _run_epoch(
         f"packed id streams need tiles < {UV_BASE}, got {tile_u}/{tile_v}"
     )
     nb = uv.shape[0]
+    check_smem_plan(nb)
     gv = gv.reshape(-1)  # (nb*8,) per-column item-tile indices
     if ap is None:  # apply flags unused when phi_groups == 8
         ap = jnp.ones((nb * 8,), jnp.int32)
@@ -408,6 +409,21 @@ def _run_epoch(
         interpret=interpret,
     )(gu, gv, ap, hyper, uv, uvt, r, theta_ext, phi_ext)
     return theta_ext, phi_ext
+
+
+def check_smem_plan(nb: int, ints_per_batch: int = 17) -> None:
+    """Scalar-prefetch arrays live in the core's ~1 MB SMEM; a plan with
+    per-batch gu + 8 gv + 8 ap int32s overflows it around nb ~ 13k (hit at
+    Netflix-scale single-chip runs: 100M ratings / B=4096). The slot-major
+    kernel streams gv/ap through VMEM instead and has no such limit; other
+    paths should shard (--mesh) or stream (--stream) the epoch."""
+    if nb * ints_per_batch * 4 > 900_000:
+        raise ValueError(
+            f"epoch plan has {nb} batches; its scalar-prefetch metadata "
+            f"(~{nb * ints_per_batch * 4 // 1024} KiB) exceeds the ~1 MiB "
+            "TPU SMEM. Use a larger batch size, the slot-major kernel "
+            "(dim <= 62), --mesh sharding, or --stream."
+        )
 
 
 def _apply_flags(gv: np.ndarray, groups: int) -> np.ndarray:

@@ -2,9 +2,13 @@
 
 Third-generation single-chip MF kernel (after ops/pallas_sgd.py, blocked
 user tiles, and ops/pallas_sgd_packed.py, lane-packed small-rank rows).
-Ablations on v5e measured an ~10us/grid-step floor (empty-body kernel) that
-the per-batch grid pays 759 times per ML-10M epoch — more than a third of
-the whole step at B=8192. This kernel removes that floor two ways:
+Built to amortize what an empty-body ablation read as a ~10us/grid-step
+floor; measurement then showed that floor is DMA already overlapped with
+compute (mega == packed at identical settings, PERF_NOTES.md), so the real
+win of this kernel is its pack=1 RESIDENT mode: small tiles (256-384) for
+mid ranks without per-step blocked-theta round trips — the best measured
+rank-64 config (tile 384: +14% over the blocked base kernel) and the
+production path for dim 63..126 when both tables fit VMEM. Two mechanisms:
 
 * **Both tables fully VMEM-resident.** theta AND phi are DMA'd from HBM
   once at step 0 and live in resident out refs for the whole epoch (the
@@ -41,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.mf import MFParams
 from tpu_mf.ops.pallas_sgd import (
+    check_smem_plan,
     LANES,
     UV_BASE,
     UV_SHIFT,
@@ -265,6 +270,7 @@ def _run_mega_epoch(
     assert theta_groups in (1, 2, 4, 8), theta_groups
     assert phi_groups in (1, 2, 4, 8), phi_groups
     nb = uv.shape[0]
+    check_smem_plan(nb)
     assert nb % mega == 0, (nb, mega)
     gv = gv.reshape(-1)
     ap = ap.reshape(-1)

@@ -45,6 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.mf import MFParams
 from tpu_mf.ops.pallas_sgd import (
+    check_smem_plan,
     LANES,
     UV_BASE,
     UV_SHIFT,
@@ -386,6 +387,7 @@ def _run_packed_epoch(
     assert theta_groups in (1, 2, 4, 8), theta_groups
     assert phi_groups in (1, 2, 4, 8), phi_groups
     nb = uv.shape[0]
+    check_smem_plan(nb)
     gv = gv.reshape(-1)
     ap = ap.reshape(-1)
     rows_u = tile_u // pack

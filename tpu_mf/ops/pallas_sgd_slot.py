@@ -177,6 +177,9 @@ def _slot_bucket_counts(
 _SUB_CANDIDATES = (32, 48, 64, 96, 112, 128, 160, 192, 224, 256, 320, 384,
                    448, 512)
 
+GV_SMEM_LIMIT = 900_000  # bytes of scalar-prefetch metadata before the
+                         # kernel switches gv/ap to the blocked VMEM stream
+
 
 def pick_sub(counts: np.ndarray, pack: int) -> int:
     """Column height maximizing throughput: fill from the exact bucket
@@ -249,19 +252,22 @@ def unpack_params_slot(
 
 
 def _slot_kernel(
-    # scalar prefetch
-    gu_ref, gv_ref, ap_ref, hyper_ref,
-    # blocked inputs
-    uv_ref, uvt_ref, r_ref, theta_ref,
-    # HBM-resident input (aliased with the resident output)
-    phi_hbm,
-    # outputs
-    theta_out, phi_out,
-    # scratch
-    acc, sem,
-    *, tile_u: int, tile_v: int, sub: int, dim: int, pack: int,
+    *refs,
+    tile_u: int, tile_v: int, sub: int, dim: int, pack: int,
     mxu_dtype, theta_groups: int, phi_groups: int, scatter_dg: bool = False,
+    gv_vmem: bool = False,
 ):
+    # Two metadata layouts: per-batch gv/ap normally ride SMEM scalar
+    # prefetch (fast scalar reads), but a huge plan's (nb*8) int32 arrays
+    # overflow the ~1 MB SMEM around nb ~ 13k (Netflix-scale single chip).
+    # gv_vmem then streams them as a blocked (1, 1, 128) VMEM row per batch
+    # (gvap = gv*2 + ap; ~20% slower from the scalar VMEM loads).
+    if gv_vmem:
+        (gu_ref, hyper_ref, gvap_ref, uv_ref, uvt_ref, r_ref, theta_ref,
+         phi_hbm, theta_out, phi_out, acc, sem) = refs
+    else:
+        (gu_ref, gv_ref, ap_ref, hyper_ref, uv_ref, uvt_ref, r_ref,
+         theta_ref, phi_hbm, theta_out, phi_out, acc, sem) = refs
     P = pack
     m = LANES // P
     rows_u = tile_u // P
@@ -334,7 +340,10 @@ def _slot_kernel(
             theta_mx = theta.astype(mxu_dtype)
             d_theta_g = jnp.zeros((tile_u, LANES), jnp.float32)
 
-        off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
+        if gv_vmem:
+            off = pl.multiple_of((gvap_ref[0, 0, k] >> 1) * tile_v, tile_v)
+        else:
+            off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
         delta = k % P  # static: columns are delta-classed by the plan
         phi = phi_out[pl.ds(off, tile_v), :]
         phi_mx = phi.astype(mxu_dtype)
@@ -439,7 +448,12 @@ def _slot_kernel(
                 for kk, off_, phi_, dphi_ in pending:
                     acc[pl.ds(off_, tile_v), :] += dphi_ * MS_v
 
-                    @pl.when(ap_ref[8 * i + kk] == 1)
+                    apk = (
+                        (gvap_ref[0, 0, kk] & 1) if gv_vmem
+                        else ap_ref[8 * i + kk]
+                    )
+
+                    @pl.when(apk == 1)
                     def _(off_=off_, phi_=phi_):
                         a = acc[pl.ds(off_, tile_v), :]
                         k_v = jnp.dot(
@@ -478,39 +492,26 @@ def _run_slot_epoch(
     assert theta_groups in (1, 2, 4, 8), theta_groups
     assert phi_groups in (1, 2, 4, 8), phi_groups
     nb = uv.shape[0]
-    gv = gv.reshape(-1)
-    ap = ap.reshape(-1)
+    # gu + 8*gv + 8*ap int32s vs the ~1 MB SMEM (patchable for tests)
+    gv_vmem = nb * 17 * 4 > GV_SMEM_LIMIT
+    if gv_vmem:
+        # (NB, 1, 128) int32, lanes 0..7 = item-tile*2 + apply-flag (lane
+        # dims must be 128-divisible or whole for TPU block specs).
+        gvap = jnp.pad(
+            gv.reshape(nb, 8) * 2 + ap.reshape(nb, 8), ((0, 0), (0, 120))
+        )[:, None, :]
     kernel = functools.partial(
         _slot_kernel,
         tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
-        phi_groups=phi_groups, scatter_dg=scatter_dg,
+        phi_groups=phi_groups, scatter_dg=scatter_dg, gv_vmem=gv_vmem,
     )
     lanes8 = 8 * pack
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # gu, gv, ap, hyper
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, sub, lanes8), lambda i, a, b, c, h: (i, 0, 0)),
-            pl.BlockSpec((1, lanes8, sub), lambda i, a, b, c, h: (i, 0, 0)),
-            pl.BlockSpec((1, sub, lanes8), lambda i, a, b, c, h: (i, 0, 0)),
-            pl.BlockSpec((tile_u, LANES), lambda i, a, b, c, h: (a[i], 0)),
-            pl.BlockSpec(memory_space=pl.ANY),   # phi (HBM)
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_u, LANES), lambda i, a, b, c, h: (a[i], 0)),
-            pl.BlockSpec(
-                (n_gv * tile_v, LANES), lambda i, a, b, c, h: (0, 0)
-            ),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n_gv * tile_v, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    theta_s, phi_s = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
+    scratch = [
+        pltpu.VMEM((n_gv * tile_v, LANES), jnp.float32),
+        pltpu.SemaphoreType.DMA,
+    ]
+    kw = dict(
         out_shape=[
             jax.ShapeDtypeStruct((n_gu * tile_u, LANES), jnp.float32),
             jax.ShapeDtypeStruct((n_gv * tile_v, LANES), jnp.float32),
@@ -518,9 +519,68 @@ def _run_slot_epoch(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        input_output_aliases={7: 0, 8: 1},
         interpret=interpret,
-    )(gu, gv, ap, hyper, uv, uvt, r, theta_s, phi_s)
+    )
+    if gv_vmem:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,  # gu, hyper
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec((1, 1, LANES), lambda i, a, h: (i, 0, 0)),
+                pl.BlockSpec((1, sub, lanes8), lambda i, a, h: (i, 0, 0)),
+                pl.BlockSpec((1, lanes8, sub), lambda i, a, h: (i, 0, 0)),
+                pl.BlockSpec((1, sub, lanes8), lambda i, a, h: (i, 0, 0)),
+                pl.BlockSpec((tile_u, LANES), lambda i, a, h: (a[i], 0)),
+                pl.BlockSpec(memory_space=pl.ANY),   # phi (HBM)
+            ],
+            out_specs=[
+                pl.BlockSpec((tile_u, LANES), lambda i, a, h: (a[i], 0)),
+                pl.BlockSpec(
+                    (n_gv * tile_v, LANES), lambda i, a, h: (0, 0)
+                ),
+            ],
+            scratch_shapes=scratch,
+        )
+        theta_s, phi_s = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            # operands: gu, hyper, gvap, uv, uvt, r, theta=6, phi=7
+            input_output_aliases={6: 0, 7: 1}, **kw,
+        )(gu, hyper, gvap, uv, uvt, r, theta_s, phi_s)
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=4,  # gu, gv, ap, hyper
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(
+                    (1, sub, lanes8), lambda i, a, b, c, h: (i, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, lanes8, sub), lambda i, a, b, c, h: (i, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (1, sub, lanes8), lambda i, a, b, c, h: (i, 0, 0)
+                ),
+                pl.BlockSpec(
+                    (tile_u, LANES), lambda i, a, b, c, h: (a[i], 0)
+                ),
+                pl.BlockSpec(memory_space=pl.ANY),   # phi (HBM)
+            ],
+            out_specs=[
+                pl.BlockSpec(
+                    (tile_u, LANES), lambda i, a, b, c, h: (a[i], 0)
+                ),
+                pl.BlockSpec(
+                    (n_gv * tile_v, LANES), lambda i, a, b, c, h: (0, 0)
+                ),
+            ],
+            scratch_shapes=scratch,
+        )
+        theta_s, phi_s = pl.pallas_call(
+            kernel, grid_spec=grid_spec,
+            # operands: gu, gv, ap, hyper, uv, uvt, r, theta=7, phi=8
+            input_output_aliases={7: 0, 8: 1}, **kw,
+        )(gu, gv.reshape(-1), ap.reshape(-1), hyper, uv, uvt, r,
+          theta_s, phi_s)
     return theta_s, phi_s
 
 
