@@ -640,6 +640,7 @@ class SlotEpochRunner:
         self.scatter_dg = scatter_dg
         self._dup_max = None
         self._vdup_max = None
+        self._warned = set()
         if theta_groups is None:
             stats = [
                 _dup_stats(self._col_ids(p.u, tile_u), tile_u)
@@ -683,12 +684,15 @@ class SlotEpochRunner:
         return int(self.plan.u.size)
 
     def pick_theta_groups(self, eta: float) -> int:
-        """See pallas_sgd.PallasEpochRunner.pick_theta_groups."""
+        """See pallas_sgd.PallasEpochRunner.pick_theta_groups. NOTE the
+        slot layout's window is sub*P slots per column — P times the packed
+        kernel's at equal sub, so the envelope binds at smaller eta."""
         if self.theta_groups is not None:
             return self.theta_groups
         for g in (1, 2, 4, 8):
             if eta * self._dup_max[g] <= 0.2:
                 return g
+        self._warn_envelope("theta", eta, self._dup_max[8])
         return 8
 
     def pick_phi_groups(self, eta: float) -> int:
@@ -698,7 +702,24 @@ class SlotEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._vdup_max[g] <= 0.2:
                 return g
+        self._warn_envelope("phi", eta, self._vdup_max[8])
         return 8
+
+    def _warn_envelope(self, side: str, eta: float, dups: int) -> None:
+        if side in self._warned:  # once per runner per side, not per eta
+            return
+        self._warned.add(side)
+        import warnings
+
+        warnings.warn(
+            f"slot kernel {side}-side staleness envelope exceeded even at "
+            f"the most sequential grouping: eta={eta:g} x max window "
+            f"duplicates {dups} = {eta * dups:.2f} > 0.2. A row hit that "
+            "often inside one sub*P-slot column accumulates that many "
+            "stale gradients and can diverge (bias terms first). Reduce "
+            "eta, use a smaller sub, or the packed kernel (window = sub).",
+            stacklevel=3,
+        )
 
     def epoch(self, tables, eta: float, lam: float, gb: float,
               epoch_idx: int = 0):
