@@ -705,6 +705,16 @@ class SlotEpochRunner:
         self._warn_envelope("phi", eta, self._vdup_max[8])
         return 8
 
+    def envelope_ok(self, eta: float) -> bool:
+        """True when SOME grouping keeps eta*max_window_dups <= 0.2 on
+        both sides (adaptive runners only; explicit groups skip the check).
+        The train loop uses this to fall back to the packed kernel (window
+        sub instead of sub*P) at warm-start etas that the slot layout's
+        wider column window cannot absorb."""
+        du = self._dup_max[8] if self._dup_max else 0
+        dv = self._vdup_max[8] if self._vdup_max else 0
+        return eta * max(du, dv) <= 0.2
+
     def _warn_envelope(self, side: str, eta: float, dups: int) -> None:
         if side in self._warned:  # once per runner per side, not per eta
             return

@@ -177,12 +177,23 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFPar
     from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner, slot_eligible
 
     n_plans = 2 if cfg.iters > 1 else 1  # between-epoch reshuffling
+    runner = None
     if slot_eligible(params, cfg.batch_size):
         # Small rank: the slot-major kernel (P ratings per sublane row,
         # slot-major stacked tables) — measured ~1.6x the packed kernel.
+        # Its per-column window is sub*P slots, so a warm-start eta the
+        # packed kernel tolerates can break the staleness envelope: fall
+        # back in that case (measured divergence at eta0=0.05 on zipfy
+        # rank-8 data).
         runner = SlotEpochRunner(
             train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
         )
+        if not runner.envelope_ok(cfg.eta):
+            log("# slot kernel staleness envelope exceeded at eta0; "
+                "using the lane-packed kernel")
+            runner = None
+    if runner is not None:
+        pass
     elif packed_eligible(params, cfg.batch_size):
         # Small rank but the slot-major item table exceeds VMEM: the
         # lane-packed kernel (P rows per 128-lane register).
