@@ -92,6 +92,11 @@ def _iter_userwise(path: str, chunk: int) -> Iterator[Chunk]:
 
 
 def _iter_movielens(path: str, chunk: int) -> Iterator[Chunk]:
+    # Ids are taken VERBATIM, matching the in-memory reader (read_any ->
+    # read_movielens(one_indexed=False)): the streamed and in-memory paths
+    # must agree on every file. (A silent -1 shift here made --stream turn
+    # 0-based csv ids negative.) 1-based MovieLens exports simply leave
+    # row 0 unused.
     with open(path) as f:
         first = f.readline()
     sep = "::" if "::" in first else ("\t" if "\t" in first else ",")
@@ -102,8 +107,8 @@ def _iter_movielens(path: str, chunk: int) -> Iterator[Chunk]:
             if not line:
                 continue
             parts = line.split(sep)
-            us.append(int(parts[0]) - 1)
-            vs.append(int(parts[1]) - 1)
+            us.append(int(parts[0]))
+            vs.append(int(parts[1]))
             rs.append(float(parts[2]))
             if len(us) >= chunk:
                 yield _emit(us, vs, rs)
