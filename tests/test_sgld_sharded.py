@@ -54,6 +54,22 @@ def test_sharded_sgld_p1_matches_single_runner_temp0():
     assert int(out_sharded.gcount) == len(ds)
 
 
+def test_train_dpmf_mesh2_smoke():
+    """train_dpmf with --mesh 2 runs end-to-end (regression: epoch_idx was
+    passed to ShardedSgldRunner.epoch, which had no such parameter)."""
+    from tpu_mf.config import TrainConfig
+    from tpu_mf.train.loop import train_dpmf
+
+    ds = synthetic_ratings(200, 150, 3000, rank=3, seed=2)
+    train, test = ds.split(0.2, seed=3)
+    cfg = TrainConfig(
+        alg="dpmf", dim=8, iters=2, eta=5e-6, temp=1e-8, mesh=2,
+        batch_size=256, hyperb=2000.0, gb=float(ds.mean_rating()),
+    )
+    state = train_dpmf(cfg, train, test_ds=test, log=lambda s: None)
+    assert np.isfinite(float(rmse(state.params, test)))
+
+
 def test_sharded_sgld_4dev_converges_with_gibbs():
     assert len(jax.devices()) >= 4
     ds = synthetic_ratings(400, 250, 20000, rank=3, noise=0.1, seed=4)

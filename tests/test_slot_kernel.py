@@ -159,3 +159,48 @@ def test_slot_gv_vmem_path_matches(monkeypatch):
     np.testing.assert_allclose(ga.theta, gb_.theta, atol=1e-6, rtol=0)
     np.testing.assert_allclose(ga.phi, gb_.phi, atol=1e-6, rtol=0)
     np.testing.assert_allclose(ga.bu, gb_.bu, atol=1e-6, rtol=0)
+
+
+def test_slot_dup_lower_bound_is_valid():
+    """The shuffle-invariant pigeonhole bound never exceeds the exact
+    per-plan window-duplicate statistics (any shuffle, any plan count)."""
+    from tpu_mf.ops.pallas_sgd_slot import slot_dup_lower_bound
+
+    ds = synthetic_ratings(400, 250, 15000, rank=3, seed=7, zipf=1.0)
+    dim = 8
+    lb, sub = slot_dup_lower_bound(ds, dim=dim)
+    assert lb >= 1
+    runner = SlotEpochRunner(ds, seed=5, n_plans=3, dim=dim, sub=sub)
+    exact = max(runner._dup_max[8], runner._vdup_max[8])
+    assert lb <= exact, (lb, exact)
+
+
+def test_pick_mf_runners_switch_schedule():
+    """Warm eta0 that breaks the slot envelope early but clears it later
+    must produce a packed-first schedule with a slot switch epoch."""
+    from tpu_mf.config import TrainConfig
+    from tpu_mf.ops.pallas_sgd_packed import PackedEpochRunner
+    from tpu_mf.train.loop import _pick_mf_runners
+
+    ds = synthetic_ratings(400, 250, 30000, rank=3, seed=8, zipf=1.2)
+    params = init_mf(jax.random.PRNGKey(4), ds.nu, ds.nv, 8, gb=3.0)
+    runner8 = SlotEpochRunner(ds, seed=0, n_plans=2, dim=8)
+    dup = max(runner8._dup_max[8], runner8._vdup_max[8])
+    assert dup > 1, "need duplicate-heavy data for this test"
+    # eta0 fails the envelope; eta0/iters passes it.
+    eta0 = 0.3 / dup
+    iters = 6
+    cfg = TrainConfig(dim=8, iters=iters, eta=eta0, gam=1.0, seed=0)
+    logs = []
+    runner, slot_runner, switch_it = _pick_mf_runners(
+        cfg, ds, params, logs.append
+    )
+    assert slot_runner is not None
+    assert 1 < switch_it <= iters
+    assert isinstance(runner, PackedEpochRunner)
+    assert slot_runner.envelope_ok(cfg.eta_at(switch_it))
+    assert not slot_runner.envelope_ok(cfg.eta_at(switch_it - 1))
+    # Cold eta0 inside the envelope: slot from epoch 1.
+    cfg2 = TrainConfig(dim=8, iters=iters, eta=0.19 / dup, gam=1.0, seed=0)
+    r2, s2, sw2 = _pick_mf_runners(cfg2, ds, params, logs.append)
+    assert s2 is r2 and sw2 == 1

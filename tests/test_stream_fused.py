@@ -39,6 +39,37 @@ def test_shard_store_partitions_by_user_range(stream_file, tmp_path):
     store.close()
 
 
+def test_plan_cache_rejects_stale_fingerprint(stream_file, tmp_path):
+    """A cached plan built under a different (seed, batch, tiles, dataset)
+    must be rebuilt, not silently reused, when the workdir persists."""
+    import os
+
+    path, train, _ = stream_file
+    wk = str(tmp_path / "wkfp")
+    t1 = FusedStreamTrainer(
+        path, tile_u=32, tile_v=32, batch=128, mem_limit=3000, seed=3,
+        mxu="float32", interpret=True, workdir=wk,
+    )
+    plans1 = [tuple(np.asarray(a) for a in p) for p in t1._plans(0)]
+    caches = sorted(f for f in os.listdir(wk) if f.startswith("plan."))
+    assert caches, "no plan cache files written"
+    # Same geometry: the cache is reused (same bytes back).
+    plans1b = [tuple(np.asarray(a) for a in p) for p in t1._plans(0)]
+    for a, b in zip(plans1, plans1b):
+        for x, y in zip(a, b):
+            np.testing.assert_array_equal(x, y)
+    # New seed, same workdir: fingerprints differ -> plans rebuilt.
+    t2 = FusedStreamTrainer(
+        path, tile_u=32, tile_v=32, batch=128, mem_limit=3000, seed=99,
+        mxu="float32", interpret=True, workdir=wk,
+    )
+    plans2 = [tuple(np.asarray(a) for a in p) for p in t2._plans(0)]
+    assert any(
+        not np.array_equal(a[2], b[2])  # uv stream differs under a new shuffle
+        for a, b in zip(plans1, plans2)
+    ), "stale cached plan was reused despite a different seed"
+
+
 def test_fused_stream_trainer_converges_interpret(stream_file, tmp_path):
     path, train, test = stream_file
     trainer = FusedStreamTrainer(

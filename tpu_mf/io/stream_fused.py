@@ -179,20 +179,33 @@ class FusedStreamTrainer:
         uv = plan.u * UV_BASE + plan.v
         return (plan.gu, plan.gv, uv, plan.r)
 
+    def _fingerprint(self) -> np.ndarray:
+        """Identity of the plan geometry: a cached plan built under any other
+        (seed, batch, tiles, dataset shape) must not be silently reused —
+        user-supplied workdirs persist across runs (ShardStore._own=False)."""
+        return np.asarray(
+            [self.seed, self.batch, self.tile_u, self.tile_v,
+             self.nu, self.nv, self.n],
+            np.int64,
+        )
+
     def _plans(self, epoch_idx: int) -> Iterator[tuple]:
         import jax.numpy as jnp
 
         names = ("gu", "gv", "uv", "r")
+        fp = self._fingerprint()
         for s in range(self.store.n_shards):
             if self.plan_cache > 0:
                 variant = epoch_idx % self.plan_cache
                 cpath = os.path.join(
                     self.store.workdir, f"plan.{s:04d}.{variant}.npz"
                 )
+                arrs = None
                 if os.path.exists(cpath):
                     z = np.load(cpath)
-                    arrs = tuple(z[k] for k in names)
-                else:
+                    if "fp" in z and np.array_equal(z["fp"], fp):
+                        arrs = tuple(z[k] for k in names)
+                if arrs is None:
                     built = self._build_plan(
                         s,
                         seed_load=self.seed + 7919 * variant + 104729 * s,
@@ -201,7 +214,7 @@ class FusedStreamTrainer:
                     arrs = built if built is not None else tuple(
                         np.empty(0) for _ in names
                     )
-                    np.savez(cpath, **dict(zip(names, arrs)))
+                    np.savez(cpath, fp=fp, **dict(zip(names, arrs)))
                 if arrs[0].size == 0:
                     continue
             else:

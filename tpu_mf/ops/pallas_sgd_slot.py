@@ -174,6 +174,58 @@ def _slot_bucket_counts(
     return np.bincount(bucket, minlength=n_gu * P * n_gv * P)
 
 
+def slot_dup_lower_bound(
+    ds: RatingsCOO,
+    dim: int | None = None,
+    pack: int | None = None,
+    tile_u: int | None = None,
+    tile_v: int | None = None,
+    sub: int | None = None,
+) -> Tuple[int, int]:
+    """(lower bound on max within-column duplicates at g=8, chosen sub).
+
+    Shuffle-INVARIANT pigeonhole bound, computable before any plan exists:
+    a row with c ratings in its (cell, slot) bucket is spread over the
+    cell's ncols columns, so some column holds >= ceil(c / ncols) of them.
+    The train loop uses this to skip building slot plans entirely (they are
+    argsort-bound, tens of seconds at 100M ratings) when even the LAST
+    epoch's decayed eta cannot satisfy eta * dups <= 0.2; the exact
+    per-plan statistics (envelope_ok) still gate the built runner.
+    """
+    if pack is None:
+        assert dim is not None, "pass dim= or pack="
+        pack = packing_factor(dim)
+    P = pack
+    tile_u = tile_u or 128 * P
+    tile_v = tile_v or 128 * P
+    counts = _slot_bucket_counts(ds, tile_u, tile_v, P)
+    if sub is None:
+        sub = pick_sub(counts, P)
+    rows_u = tile_u // P
+    rows_v = tile_v // P
+    n_gv = cdiv(ds.nv, tile_v)
+    ncols = np.maximum(cdiv_np(counts.reshape(-1, P).max(1), sub), 1)
+
+    g = ds.u.astype(np.int64) // tile_u
+    gvt = ds.v.astype(np.int64) // tile_v
+    d = (ds.v.astype(np.int64) - ds.u) % P
+    bucket = ((g * P + d) * n_gv + gvt) * P + ds.u % P
+
+    def side_bound(ids, tile, rows):
+        key = bucket * rows + (ids.astype(np.int64) % tile) // P
+        c = np.bincount(key)
+        nz = np.nonzero(c)[0]
+        if nz.size == 0:
+            return 0
+        return int(cdiv_np(c[nz], ncols[nz // (rows * P)]).max())
+
+    lb = max(
+        side_bound(ds.u, tile_u, rows_u),
+        side_bound(ds.v, tile_v, rows_v),
+    )
+    return lb, sub
+
+
 _SUB_CANDIDATES = (32, 48, 64, 96, 112, 128, 160, 192, 224, 256, 320, 384,
                    448, 512)
 

@@ -133,9 +133,16 @@ class ShardedSgldRunner:
     def set_lambdas(self, state: DPMFState) -> None:
         self.lamvec = pallas_sgld.build_lamvec(state)
 
-    def epoch(self, tables, state_gcount: int, hyper, noise_seed: int):
+    def epoch(self, tables, state_gcount: int, hyper, noise_seed: int,
+              epoch_idx: int = 0):
         """One round (pass over the data): P substeps. hyper = (eta, temp,
-        bound, scal, gb)."""
+        bound, scal, gb).
+
+        epoch_idx is accepted for interface parity with PallasSgldRunner
+        (train_dpmf passes it unconditionally); the sharded plan is static
+        (no plan rotation yet), so it is currently unused.
+        """
+        del epoch_idx
         fn = _substep_fn(
             self.mesh, self.n_dev, self.tile_u, self.tile_v, self.batch,
             self.splan.chunk_u // self.tile_u,

@@ -164,39 +164,55 @@ def train_mf(
         obs.close()
 
 
-def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFParams:
-    """MF training epochs on the fused Pallas kernel (ops/pallas_sgd.py).
+def _pick_mf_runners(cfg, train_ds, params, log, start=0):
+    """(initial runner, slot runner or None, switch epoch).
 
-    n_plans=2 rotates between two independently-shuffled cell plans per
-    epoch (the reference replays one fixed file order every epoch,
-    src/mf.h:37-44; rotation strictly improves on that).
+    The slot-major kernel is the fastest eligible SGD kernel but its
+    staleness window is sub*P slots per column, so warm-start etas can break
+    its envelope (eta * max_window_dups <= 0.2). eta decays as eta0/t^gam,
+    so instead of a single check at eta0 (which would pin the whole run to
+    the slower packed kernel), the schedule is: run the packed/mega kernel
+    for the early epochs and SWITCH to the slot kernel at the first epoch
+    whose eta clears the exact per-plan envelope. A shuffle-invariant
+    pigeonhole bound (slot_dup_lower_bound) runs first so the argsort-bound
+    slot plans are never built when no epoch could ever use them.
     """
     from tpu_mf.ops.pallas_sgd import PallasEpochRunner
     from tpu_mf.ops.pallas_sgd_mega import MegaEpochRunner, mega_eligible
     from tpu_mf.ops.pallas_sgd_packed import PackedEpochRunner, packed_eligible
-    from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner, slot_eligible
+    from tpu_mf.ops.pallas_sgd_slot import (
+        SlotEpochRunner,
+        slot_dup_lower_bound,
+        slot_eligible,
+    )
 
     n_plans = 2 if cfg.iters > 1 else 1  # between-epoch reshuffling
-    runner = None
+    slot_runner = None
+    switch_it = None
     if slot_eligible(params, cfg.batch_size):
-        # Small rank: the slot-major kernel (P ratings per sublane row,
-        # slot-major stacked tables) — measured ~1.6x the packed kernel.
-        # Its per-column window is sub*P slots, so a warm-start eta the
-        # packed kernel tolerates can break the staleness envelope: fall
-        # back in that case (measured divergence at eta0=0.05 on zipfy
-        # rank-8 data).
-        runner = SlotEpochRunner(
-            train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
-        )
-        if not runner.envelope_ok(cfg.eta):
-            log("# slot kernel staleness envelope exceeded at eta0; "
-                "using the lane-packed kernel")
-            runner = None
-    if runner is not None:
-        pass
-    elif packed_eligible(params, cfg.batch_size):
-        # Small rank but the slot-major item table exceeds VMEM: the
-        # lane-packed kernel (P rows per 128-lane register).
+        lb, _ = slot_dup_lower_bound(train_ds, dim=cfg.dim)
+        if cfg.eta_at(cfg.iters) * lb <= 0.2:
+            slot_runner = SlotEpochRunner(
+                train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
+            )
+            for it in range(start + 1, cfg.iters + 1):
+                if slot_runner.envelope_ok(cfg.eta_at(it)):
+                    switch_it = it
+                    break
+            if switch_it is None:
+                slot_runner = None
+        if slot_runner is None:
+            log("# slot kernel staleness envelope exceeded at every epoch's "
+                "eta; using the lane-packed kernel")
+    if slot_runner is not None and switch_it <= start + 1:
+        return slot_runner, slot_runner, switch_it
+    if slot_runner is not None:
+        log(f"# slot kernel envelope clears at epoch {switch_it} "
+            f"(eta {cfg.eta_at(switch_it):g}); packed kernel until then")
+
+    if packed_eligible(params, cfg.batch_size):
+        # Small rank: the lane-packed kernel (P rows per 128-lane register)
+        # covers the epochs before the slot envelope clears (or all of them).
         runner = PackedEpochRunner(
             train_ds, batch=max(8192, cfg.batch_size), seed=cfg.seed,
             n_plans=n_plans, dim=cfg.dim,
@@ -216,10 +232,30 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFPar
             batch=max(1024, cfg.batch_size), seed=cfg.seed,
             n_plans=n_plans,
         )
+    return runner, slot_runner, switch_it
+
+
+def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFParams:
+    """MF training epochs on the fused Pallas kernel (ops/pallas_sgd.py).
+
+    n_plans=2 rotates between two independently-shuffled cell plans per
+    epoch (the reference replays one fixed file order every epoch,
+    src/mf.h:37-44; rotation strictly improves on that). Kernel choice and
+    the mid-run packed->slot switch: _pick_mf_runners.
+    """
+    runner, slot_runner, switch_it = _pick_mf_runners(
+        cfg, train_ds, params, log, start
+    )
     tables = runner.pad(params)
     gb = float(params.gb)
     t0 = time.perf_counter()
     for it in range(start + 1, cfg.iters + 1):
+        if slot_runner is not None and it >= switch_it and runner is not slot_runner:
+            # eta has decayed into the slot kernel's staleness envelope:
+            # hand the tables over to the faster kernel mid-run.
+            log(f"# eta in slot-kernel envelope from epoch {it}; switching")
+            tables = slot_runner.pad(runner.trim(tables))
+            runner = slot_runner
         tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam, gb, epoch_idx=it)
         jax.block_until_ready(tables[0])
         elapsed = time.perf_counter() - t0
