@@ -5,24 +5,32 @@ Prints ONE JSON line:
 
 vs_baseline measures against the BASELINE.json north-star target of 1e9
 rating updates/sec/chip on TPU v5e (the reference publishes no numbers of its
-own — BASELINE.md). Headline config: an ML-10M-scale problem (nu=69878,
-nv=10677, 10M ratings, rank 64 — BASELINE.json configs[2] shape) trained
-with the mega-resident fused kernel (tpu_mf/ops/pallas_sgd_mega.py, the
-production rank-64 path). "extra" records the rank-8 slot-major kernel
-(tpu_mf/ops/pallas_sgd_slot.py) on the same data — the small-rank
-production path. Counts only REAL ratings (cell padding excluded). Falls
-back to the XLA path off-TPU.
+own — BASELINE.md).
+
+Honesty rules (round-3 VERDICT #3):
+* Data is the CALIBRATED ML-10M stand-in (Zipf-Mandelbrot heads matched to
+  the real dataset: top item ~0.36%, top user ~0.07% of ratings —
+  benchmarks/ML10M_STUDY.md), not uniform marginals.
+* Every number reported is measured on the kernel the PRODUCTION path
+  (train.loop._pick_mf_runners) selects for that configuration at the
+  default CLI hyperparameters, evaluated at the eta of the epoch actually
+  running that kernel — never on a kernel the envelope would refuse.
+
+Headline config: ML-10M scale (nu=69878, nv=10677, 10M ratings), rank 64
+(BASELINE.json configs[2] shape). "extra" records rank 8 (the small-rank
+production path, reporting the kernel + epoch the switch schedule engages)
+and the reference-default dim=128 (main.cc:98) on the 256-lane fused kernel.
+Counts only REAL ratings (cell padding excluded). Falls back to the XLA
+path off-TPU.
 """
 
 import json
 import time
 
 
-def _time_epochs(runner, params, eta, lam, reps=5):
+def _time_epochs(runner, tables, eta, lam, gb, reps=5):
     import jax.numpy as jnp
 
-    tables = runner.pad(params)
-    gb = float(params.gb)
     tables = runner.epoch(tables, eta, lam, gb)  # compile + warm
     _ = float(jnp.sum(tables[0]))
     t0 = time.perf_counter()
@@ -32,43 +40,83 @@ def _time_epochs(runner, params, eta, lam, reps=5):
     return (time.perf_counter() - t0) / reps
 
 
+def calibrated_ml10m(n=10_000_000, seed=0):
+    """ML-10M stand-in with the gate-matched calibration (ML10M_STUDY.md)."""
+    from tpu_mf.data.coo import synthetic_ratings
+
+    return synthetic_ratings(
+        69_878, 10_677, n, rank=8, seed=seed,
+        noise=0.76, signal=1.0, bias_std=0.38,
+        zipf=1.0, zipf_q=50.0, zipf_u=1.0, zipf_uq=250.0,
+    )
+
+
+def _production_number(cfg, ds, params, extra_prefix, extra):
+    """Measure the kernel the production path runs for cfg, at the eta of
+    the epoch where it engages. Returns updates/s."""
+    from tpu_mf.train.loop import _pick_mf_runners
+
+    logs = []
+    runner, slot_runner, switch_it = _pick_mf_runners(
+        cfg, ds, params, logs.append
+    )
+    # The steady-state production kernel: the slot runner from its switch
+    # epoch on, else the initial runner for the whole run.
+    if slot_runner is not None:
+        kernel, eta_at = slot_runner, cfg.eta_at(switch_it)
+        extra[f"{extra_prefix}_kernel"] = type(slot_runner).__name__
+        extra[f"{extra_prefix}_engaged_epoch"] = switch_it
+    else:
+        kernel, eta_at = runner, cfg.eta_at(1)
+        extra[f"{extra_prefix}_kernel"] = type(runner).__name__
+    tables = kernel.pad(params)
+    dt = _time_epochs(kernel, tables, eta_at, cfg.lam, float(params.gb))
+    n_real = kernel.plan.n_real
+    return n_real / dt
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
 
-    from tpu_mf.data.coo import synthetic_ratings
+    from tpu_mf.config import TrainConfig
     from tpu_mf.models.mf import init_mf
 
-    nu, nv, dim = 69_878, 10_677, 64
-    n = 10_000_000
-    ds = synthetic_ratings(nu, nv, n, rank=8, noise=0.1, seed=0)
-    eta, lam = 0.02, 5e-3
+    ds = calibrated_ml10m()
+    n = len(ds)
+    eta, lam = 2e-2, 5e-3  # reference defaults (main.cc:97-105)
 
     on_tpu = jax.default_backend() != "cpu"
     extra = {}
     if on_tpu:
-        from tpu_mf.ops.pallas_sgd_mega import MegaEpochRunner
-        from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner
+        gb = float(ds.mean_rating())
 
-        params = init_mf(jax.random.PRNGKey(0), nu, nv, dim,
-                         gb=ds.mean_rating())
-        runner = MegaEpochRunner(
-            ds, tile_u=384, tile_v=384, batch=8192, seed=1, dim=dim
+        # Headline: rank 64, whatever kernel production selects for it.
+        cfg64 = TrainConfig(dim=64, iters=15, eta=eta, lam=lam, gb=gb)
+        p64 = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 64, gb=gb)
+        ups = _production_number(cfg64, ds, p64, "rank64", extra)
+        name = extra["rank64_kernel"]
+
+        # Small-rank production path (slot kernel behind its envelope
+        # schedule).
+        cfg8 = TrainConfig(dim=8, iters=15, eta=eta, lam=lam, gb=gb)
+        p8 = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 8, gb=gb)
+        extra["rank8_updates_per_s"] = round(
+            _production_number(cfg8, ds, p8, "rank8", extra)
         )
-        dt = _time_epochs(runner, params, eta, lam)
-        n_updates = runner.plan.n_real
-        name = "mega-fused"
-        del runner
 
-        p8 = init_mf(jax.random.PRNGKey(0), nu, nv, 8, gb=ds.mean_rating())
-        r8 = SlotEpochRunner(ds, seed=1, dim=8)  # auto tile/sub
-        dt8 = _time_epochs(r8, p8, eta, lam)
-        extra["rank8_slot_updates_per_s"] = round(r8.plan.n_real / dt8)
+        # Reference default dim=128: the 256-lane fused kernel.
+        cfg128 = TrainConfig(dim=128, iters=15, eta=eta, lam=lam, gb=gb)
+        p128 = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 128, gb=gb)
+        extra["dim128_updates_per_s"] = round(
+            _production_number(cfg128, ds, p128, "dim128", extra)
+        )
     else:
+        from tpu_mf.models.mf import init_mf as _init
         from tpu_mf.ops.sgd import sgd_epoch
 
-        params = init_mf(jax.random.PRNGKey(0), nu, nv, dim,
-                         gb=ds.mean_rating())
+        params = _init(jax.random.PRNGKey(0), ds.nu, ds.nv, 64,
+                       gb=ds.mean_rating())
         u, v, r, w = ds.to_batches(4096, shuffle_seed=1)
         batches = tuple(jnp.asarray(x) for x in (u, v, r, w))
         params = sgd_epoch(params, batches, jnp.float32(eta), jnp.float32(lam))
@@ -76,16 +124,18 @@ def main() -> None:
         reps = 2
         t0 = time.perf_counter()
         for _i in range(reps):
-            params = sgd_epoch(params, batches, jnp.float32(eta), jnp.float32(lam))
+            params = sgd_epoch(
+                params, batches, jnp.float32(eta), jnp.float32(lam)
+            )
         _ = float(jnp.sum(params.theta))
         dt = (time.perf_counter() - t0) / reps
-        n_updates = n
+        ups = n / dt
         name = "xla-cpu-fallback"
 
-    ups = n_updates / dt
     out = {
         "metric": (
-            f"rating updates/sec/chip (ML-10M scale, rank {dim}, {name})"
+            "rating updates/sec/chip (calibrated ML-10M scale, rank 64, "
+            f"{name})"
         ),
         "value": round(ups),
         "unit": "updates/s",

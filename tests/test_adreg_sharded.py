@@ -66,3 +66,43 @@ def test_sharded_adreg_4dev_lambdas_learn_and_converge():
     assert (np.asarray(runner.lams) >= 0).all()
     final = rmse(out.params, test)
     assert final < 0.55, f"sharded adreg failed to converge: {final}"
+
+
+def test_train_admf_mesh_dim128_runs():
+    """--mesh admf at the reference default dim=128 (BASELINE config #5
+    shape): the 256-lane sharded kernel builds and runs under the new
+    eligibility guard (round 2 left this path unguarded and untested)."""
+    import numpy as np
+    from tpu_mf.config import TrainConfig
+    from tpu_mf.models.mf import rmse
+    from tpu_mf.train.loop import train_admf
+
+    ds = synthetic_ratings(120, 80, 1500, rank=3, seed=11)
+    train, rest = ds.split(0.3, seed=12)
+    valid, test = rest.split(0.5, seed=13)
+    cfg = TrainConfig(
+        alg="admf", dim=128, iters=1, eta=0.02, eta_reg=1e-3, mesh=2,
+        batch_size=128, gb=float(ds.mean_rating()),
+    )
+    state = train_admf(cfg, train, valid, test_ds=test, log=lambda s: None)
+    assert np.isfinite(float(rmse(state.params, test)))
+
+
+def test_train_admf_mesh_overlarge_dim_falls_back():
+    """dim > MAX_DIM on the mesh path must fall back to XLA, not crash."""
+    import numpy as np
+    from tpu_mf.config import TrainConfig
+    from tpu_mf.models.mf import rmse
+    from tpu_mf.train.loop import train_admf
+
+    ds = synthetic_ratings(80, 60, 800, rank=3, seed=14)
+    train, rest = ds.split(0.3, seed=15)
+    valid, test = rest.split(0.5, seed=16)
+    logs = []
+    cfg = TrainConfig(
+        alg="admf", dim=260, iters=1, eta=0.02, eta_reg=1e-3, mesh=2,
+        batch_size=128, gb=float(ds.mean_rating()),
+    )
+    state = train_admf(cfg, train, valid, test_ds=test, log=logs.append)
+    assert any("falling back" in line for line in logs)
+    assert np.isfinite(float(rmse(state.params, test)))

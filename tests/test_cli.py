@@ -106,15 +106,62 @@ def test_cli_mf_stream_mode(data, capsys):
     assert out.count("tRMSE=") == 2
     assert "nan" not in out
 
-def test_cli_stream_guards(data, capsys):
-    # --stream is single-chip and cold-start: fail loudly, never silently
-    # ignore other flags.
+def test_cli_stream_mesh_trains(data, capsys):
+    """Out-of-core composed with multi-chip: --stream --mesh 2 (mf)."""
     rc = main(base_args(data, "mf") + ["--eta", "0.03", "--stream", "--mesh", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("tRMSE=") == 2
+    assert "nan" not in out
+    # dpmf/admf mesh streaming is not implemented: loud error, not silence.
+    rc = main(
+        base_args(data, "dpmf")
+        + ["--eta", "1e-5", "--stream", "--mesh", "2"]
+    )
     assert rc == 1
-    assert "single-chip" in capsys.readouterr().err
-    rc = main(base_args(data, "mf") + ["--eta", "0.03", "--stream", "--model", "x"])
-    assert rc == 1
-    assert "warm start" in capsys.readouterr().err
+    assert "--alg mf" in capsys.readouterr().err
+
+
+def test_cli_stream_model_warm_start(data, capsys):
+    """Warm start composed with streaming (reference: load-before-stream,
+    main.cc:38): the second run resumes from the first run's checkpoint."""
+    result = os.path.join(data["dir"], "mf_stream_ws")
+    rc = main(base_args(data, "mf")
+              + ["--eta", "0.05", "--stream", "--result", result])
+    assert rc == 0
+    first = capsys.readouterr().out
+    rc = main(base_args(data, "mf")
+              + ["--eta", "0.03", "--stream", "--model", result + "_2"])
+    assert rc == 0
+    second = capsys.readouterr().out
+
+    def last_rmse(out):
+        return float(out.strip().splitlines()[-1].split("tRMSE=")[1])
+
+    # warm-started streaming run continues from (not above) the cold finish
+    assert last_rmse(second) <= last_rmse(first) + 0.02
+
+
+def test_cli_dpmf_stream_hyper_warm_start(data, capsys):
+    from tpu_mf.io.checkpoint import load_dpmf_hyper
+
+    result = os.path.join(data["dir"], "dpmf_stream_ws")
+    rc = main(
+        base_args(data, "dpmf")
+        + ["--eta", "1e-5", "--temp", "1e-6", "--hyperb", "1000",
+           "--result", result]
+    )
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(
+        base_args(data, "dpmf")
+        + ["--eta", "1e-5", "--temp", "1e-6", "--hyperb", "1000",
+           "--stream", "--model", result + "_2"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("round #") == 2
+    assert "nan" not in out
 
 
 def test_cli_dpmf_stream_mode(data, capsys):

@@ -89,3 +89,21 @@ def test_mega_eligibility():
     huge = init_mf(jax.random.PRNGKey(0), 2_000_000, 10, 100, gb=3.0)
     assert not mega_eligible(huge)  # 1 GB theta
     assert mega_packing_factor(127) == 0
+
+
+def test_mega_scatter_dg_matches():
+    """scatter-via-dot_general (no transposed one-hots) must be numerically
+    identical to the transposed-one-hot scatter."""
+    ds = synthetic_ratings(600, 400, 15000, rank=4, seed=6, zipf=0.7)
+    dim = 16
+    params = init_mf(jax.random.PRNGKey(3), ds.nu, ds.nv, dim,
+                     gb=ds.mean_rating())
+    kw = dict(tile_u=64, tile_v=64, batch=64, seed=7, mxu="float32",
+              interpret=True, theta_groups=8, phi_groups=8, pack=1, mega=4)
+    a = MegaEpochRunner(ds, dim=dim, **kw)
+    b = MegaEpochRunner(ds, dim=dim, scatter_dg=True, **kw)
+    ta, tb = a.pad(params), b.pad(params)
+    for it in range(2):
+        ta = a.epoch(ta, 0.05, 0.02, float(params.gb), epoch_idx=it)
+        tb = b.epoch(tb, 0.05, 0.02, float(params.gb), epoch_idx=it)
+    _params_close(a.trim(ta), b.trim(tb))

@@ -114,3 +114,68 @@ def test_adaptive_theta_groups_selection_and_convergence():
     out = runner.trim(tables)
     final = rmse(out, test)
     assert final < 0.55, f"adaptive-group training failed to converge: {final}"
+
+
+def test_pallas_epoch_dim128_two_lane_groups():
+    """The reference's default dim=128 (main.cc:98) runs FUSED via 256-lane
+    rows; interpret-mode parity against the pure-JAX kernel."""
+    ds = synthetic_ratings(200, 150, 1500, rank=3, seed=12)
+    params = init_mf(jax.random.PRNGKey(5), ds.nu, ds.nv, 128, gb=3.0)
+    eta, lam = 0.03, 0.01
+
+    runner = PallasEpochRunner(
+        ds, tile_u=128, tile_v=128, batch=256, seed=13,
+        mxu="float32", interpret=True, theta_groups=8, phi_groups=8,
+    )
+    tables = runner.pad(params)
+    assert tables[0].shape[1] == 256  # two lane groups
+    tables = runner.epoch(tables, eta, lam, float(params.gb))
+    out = runner.trim(tables)
+
+    ref = reference_epoch_on_plan(params, runner.plan, eta, lam)
+    np.testing.assert_allclose(np.asarray(out.theta), np.asarray(ref.theta),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.phi), np.asarray(ref.phi),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.bu), np.asarray(ref.bu),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.bv), np.asarray(ref.bv),
+                               atol=2e-5)
+
+
+def test_homog_one_lane_invariant():
+    """The homogeneous one-lanes stay exactly 1 across epochs (they are
+    reconstructed at every tile apply)."""
+    ds = synthetic_ratings(200, 150, 3000, rank=3, seed=14)
+    params = init_mf(jax.random.PRNGKey(6), ds.nu, ds.nv, 8, gb=3.0)
+    runner = PallasEpochRunner(
+        ds, tile_u=128, tile_v=128, batch=256, seed=15,
+        mxu="float32", interpret=True,
+    )
+    tables = runner.pad(params)
+    for it in range(3):
+        tables = runner.epoch(tables, 0.05, 0.01, 3.0, epoch_idx=it)
+    th, ph = np.asarray(tables[0]), np.asarray(tables[1])
+    dim = 8
+    np.testing.assert_array_equal(th[: ds.nu, dim + 1], 1.0)  # theta one-lane
+    np.testing.assert_array_equal(ph[: ds.nv, dim], 1.0)      # phi one-lane
+    np.testing.assert_array_equal(th[:, dim + 2], 0.0)        # cnt cleared
+
+
+def test_scatter_dg_matches_transposed():
+    """Gen-1 scatter-via-dot_general == transposed-one-hot scatter."""
+    ds = synthetic_ratings(300, 200, 5000, rank=3, seed=16)
+    params = init_mf(jax.random.PRNGKey(7), ds.nu, ds.nv, 8, gb=3.0)
+    kw = dict(tile_u=128, tile_v=128, batch=256, seed=17,
+              mxu="float32", interpret=True)
+    a = PallasEpochRunner(ds, **kw)
+    b = PallasEpochRunner(ds, scatter_dg=True, **kw)
+    ta, tb = a.pad(params), b.pad(params)
+    for it in range(2):
+        ta = a.epoch(ta, 0.05, 0.01, 3.0, epoch_idx=it)
+        tb = b.epoch(tb, 0.05, 0.01, 3.0, epoch_idx=it)
+    oa, ob = a.trim(ta), b.trim(tb)
+    np.testing.assert_allclose(np.asarray(oa.theta), np.asarray(ob.theta),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(oa.phi), np.asarray(ob.phi),
+                               atol=1e-6)

@@ -1,0 +1,170 @@
+"""Slot-major fused SGLD kernel (ops/pallas_sgld_slot.py), interpret mode."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_mf.data.coo import synthetic_ratings
+from tpu_mf.models.dpmf import init_dpmf
+from tpu_mf.models.mf import calc_mse, rmse
+from tpu_mf.ops.pallas_sgld_slot import (
+    SlotSgldRunner,
+    pack_sgld_slot,
+    sgld_slot_eligible,
+    sgld_slot_pack,
+    unpack_sgld_slot,
+)
+from tpu_mf.ops.sgld import SgldHyper, sgld_batch_update
+
+
+def batch_ratings(plan, b):
+    """Global (u, v, r) triples of one slot-plan batch."""
+    P = plan.pack
+    rows_u = plan.tile_u // P
+    rows_v = plan.tile_v // P
+    us, vs, rs = [], [], []
+    for s in range(plan.u.shape[1]):
+        for lane in range(8 * P):
+            ul = plan.u[b, s, lane]
+            if ul == rows_u:
+                continue
+            k, j = lane // P, lane % P
+            d = k % P
+            u = plan.gu[b] * plan.tile_u + j + P * ul
+            v = (plan.gv[b, k] * plan.tile_v + ((j + d) % P)
+                 + P * plan.v[b, s, lane])
+            us.append(u)
+            vs.append(v)
+            rs.append(plan.r[b, s, lane])
+    return (np.asarray(us, np.int32), np.asarray(vs, np.int32),
+            np.asarray(rs, np.float32))
+
+
+def test_slot_sgld_matches_xla_batchwise_temp0():
+    """temp=0: the slot SGLD kernel's batch-granular semantics == the XLA
+    sgld_batch_update replayed once per slot batch."""
+    ds = synthetic_ratings(300, 200, 4000, rank=3, seed=0)
+    state = init_dpmf(jax.random.PRNGKey(0), ds, 8)
+    eta, temp, bound = 1e-5, 0.0, 1.0
+    ntrain = float(len(ds))
+    scal = eta * ntrain * bound * float(state.lambda_r)
+
+    runner = SlotSgldRunner(
+        ds, sub=16, seed=1, mxu="float32", interpret=True, dim=8, tile=64,
+    )
+    tables = runner.pad(state)
+    tables = runner.epoch(
+        tables, 0, (eta, temp, bound, scal, float(state.params.gb)),
+        noise_seed=7,
+    )
+    out = runner.unpack(state, tables)
+
+    hyper = SgldHyper(
+        eta=jnp.float32(eta), temp=jnp.float32(temp),
+        bound=jnp.float32(bound), ntrain=jnp.float32(ntrain),
+    )
+    ref = init_dpmf(jax.random.PRNGKey(0), ds, 8)
+    plan = runner.plan
+    for b in range(plan.u.shape[0]):
+        u, v, r = batch_ratings(plan, b)
+        if len(u) == 0:
+            continue
+        batch = (
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(r),
+            jnp.ones(len(u), jnp.float32),
+        )
+        ref = sgld_batch_update(
+            ref, batch, hyper, jax.random.fold_in(jax.random.PRNGKey(9), b)
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(out.params.theta), np.asarray(ref.params.theta), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.phi), np.asarray(ref.params.phi), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.bu), np.asarray(ref.params.bu), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.bv), np.asarray(ref.params.bv), atol=3e-5
+    )
+    # stamps are batch-granular on both sides; clock conventions differ by
+    # less than one batch
+    bsz = plan.u[0].size
+    du = np.abs(np.asarray(out.gcountu[:-1]) - np.asarray(ref.gcountu[:-1]))
+    assert du.max() <= bsz
+    assert int(out.gcount) == int(ref.gcount) == len(ds)
+
+
+def test_slot_sgld_counters_roundtrip():
+    ds = synthetic_ratings(200, 150, 2500, rank=3, seed=2)
+    state = init_dpmf(jax.random.PRNGKey(1), ds, 8)
+    state = state._replace(
+        gcountu=state.gcountu.at[:].set(12345),
+        gcountv=state.gcountv.at[:].set(67),
+    )
+    runner = SlotSgldRunner(
+        ds, sub=16, seed=3, mxu="float32", interpret=True, dim=8, tile=64,
+    )
+    t, p = pack_sgld_slot(state, runner.plan)
+    back = unpack_sgld_slot(state, t, p, runner.plan, 0)
+    np.testing.assert_array_equal(
+        np.asarray(back.gcountu[: ds.nu]), 12345
+    )
+    np.testing.assert_array_equal(np.asarray(back.gcountv[: ds.nv]), 67)
+    np.testing.assert_allclose(
+        np.asarray(back.params.theta), np.asarray(state.params.theta),
+        atol=0,
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.ur), np.asarray(state.ur), atol=0
+    ) if hasattr(back, "ur") else None
+
+
+def test_slot_sgld_converges_with_gibbs():
+    ds = synthetic_ratings(400, 250, 20000, rank=3, noise=0.1, seed=4)
+    train, test = ds.split(0.2, seed=5)
+    state = init_dpmf(jax.random.PRNGKey(1), train, 8, gb=ds.mean_rating())
+    runner = SlotSgldRunner(
+        train, sub=16, seed=7, mxu="float32", interpret=True, dim=8, tile=64,
+    )
+    from tpu_mf.ops.gibbs import sample_hyper
+    from tpu_mf.ops.sgld import finish_noise
+
+    ntrain = len(train)
+    eta0, temp, bound = 5e-6, 0.0, 1.0
+    for rnd in range(1, 7):
+        eta = eta0 / rnd**0.2
+        scal = eta * ntrain * bound * float(state.lambda_r)
+        tables = runner.pad(state)
+        tables = runner.epoch(
+            tables, int(state.gcount),
+            (eta, temp, bound, scal, float(state.params.gb)),
+            noise_seed=rnd * 100_000, epoch_idx=rnd - 1,
+        )
+        state = runner.unpack(state, tables)
+        state = finish_noise(
+            state, jnp.float32(eta), jnp.float32(temp),
+            jax.random.PRNGKey(rnd),
+        )
+        mse = calc_mse(state.params, train.u, train.v, train.r)
+        state = sample_hyper(
+            state, jnp.float32(mse * ntrain), jnp.float32(ntrain),
+            jnp.float32(1.0), jnp.float32(2000.0),
+            jax.random.PRNGKey(rnd + 50),
+        )
+    final = rmse(state.params, test)
+    assert np.isfinite(final) and final < 0.8, f"slot SGLD diverged: {final}"
+
+
+def test_slot_sgld_eligibility():
+    assert sgld_slot_pack(8) == 8
+    assert sgld_slot_pack(26) == 4
+    assert sgld_slot_pack(58) == 2
+    assert sgld_slot_pack(64) == 1
+    s = init_dpmf(
+        jax.random.PRNGKey(0), synthetic_ratings(500, 300, 2000, seed=0), 8
+    )
+    assert sgld_slot_eligible(s, 10_000_000)

@@ -165,3 +165,28 @@ def test_ranking_metrics():
     m_rnd = ranking_metrics(rnd, test, train_ds=train, k=10,
                             min_rating=float(np.percentile(test.r, 75)))
     assert m["ndcg@k"] > m_rnd["ndcg@k"]
+
+
+def test_prepare_nway_split(tmp_path):
+    """Reference getdata --split N: N user-grouped shard files covering all
+    ratings exactly once (getdata.cc:128-173)."""
+    ds = synthetic_ratings(60, 40, 3000, seed=2)
+    raw = str(tmp_path / "raw.txt")
+    write_raw(raw, ds)
+    out = str(tmp_path / "nway")
+    rc = prepare.main(
+        ["-r", raw, "-w", out, "--method", "userwise", "--split", "4"]
+    )
+    assert rc == 0
+    total = 0
+    got = []
+    for i in range(4):
+        part = read_any(out + f".part{i}", nu=ds.nu, nv=ds.nv)
+        assert len(part) > 0
+        total += len(part)
+        got += list(zip(part.u.tolist(), part.v.tolist(),
+                        np.round(part.r, 3).tolist()))
+    assert total == len(ds)
+    want = sorted(zip(ds.u.tolist(), ds.v.tolist(),
+                      np.round(ds.r, 3).tolist()))
+    assert sorted(got) == want

@@ -110,11 +110,8 @@ def main(argv=None) -> int:
     if cfg.resume and not cfg.result:
         print("--resume requires --result (checkpoint prefix)", file=sys.stderr)
         return 1
-    if args.stream and cfg.mesh > 1:
-        print("--stream is single-chip; drop --mesh or --stream", file=sys.stderr)
-        return 1
-    if args.stream and cfg.model:
-        print("--stream does not support --model warm starts yet",
+    if args.stream and cfg.mesh > 1 and cfg.alg != "mf":
+        print("--stream --mesh is currently implemented for --alg mf only",
               file=sys.stderr)
         return 1
 
@@ -182,13 +179,16 @@ def main(argv=None) -> int:
                 save_mf_binary(f"{cfg.result}_{cfg.iters}", params, cfg.lam)
     elif cfg.alg == "dpmf":
         state0 = None
+        hyper0 = None
         if cfg.model:
             # Hyper-only warm start, as the reference does (main.cc:57).
+            hyper0 = load_dpmf_hyper(cfg.model)
+        if cfg.model and not args.stream:
             import jax
             from tpu_mf.models.dpmf import init_dpmf
             import jax.numpy as jnp
 
-            lr, lub, lvb, lu, lv = load_dpmf_hyper(cfg.model)
+            lr, lub, lvb, lu, lv = hyper0
             state0 = init_dpmf(
                 jax.random.PRNGKey(cfg.seed), train_ds, cfg.dim, gb=cfg.gb
             )._replace(
@@ -215,7 +215,8 @@ def main(argv=None) -> int:
             from tpu_mf.train.loop import train_dpmf_stream
 
             state = train_dpmf_stream(
-                cfg, cfg.train, test_ds=test_ds, save_fn=save_fn
+                cfg, cfg.train, test_ds=test_ds, save_fn=save_fn,
+                hyper0=hyper0,
             )
         else:
             state = train_dpmf(

@@ -85,10 +85,13 @@ def _adreg_kernel(
 
     theta = theta_out[:]
 
+    # Homogeneous rows (ops/pallas_sgd.py): theta = [fac | bu | 1], phi =
+    # [fac | 1 | bv]. The one-lanes survive the per-lane decay on their own
+    # (their lamvec entry is 0 -> base 1 -> powk == 1), so only the scatter
+    # garbage needs masking at apply.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
-    m_fac = (lane < dim).astype(jnp.float32)
-    m_bias = (lane == dim).astype(jnp.float32)
-    m_keep = m_fac + m_bias
+    m_keep_u = (lane <= dim).astype(jnp.float32)
+    m_keep_v = ((lane < dim) | (lane == dim + 1)).astype(jnp.float32)
 
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_u), 1)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_v), 1)
@@ -122,30 +125,26 @@ def _adreg_kernel(
 
         t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
         p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
-        q = p * m_fac + m_bias
-        score = (
-            jnp.sum(t * q, axis=1, keepdims=True)
-            + jnp.sum(p * m_bias, axis=1, keepdims=True)
-            + gb
-        )
+        # Homogeneous rows: rowsum(t*p) = t.p + bu + bv, no masks.
+        score = jnp.sum(t * p, axis=1, keepdims=True) + gb
         pred = jax.nn.sigmoid(score) if loss == 1 else score
         wk = w3[:, k : k + 1]
         err = (eta * wk) * (r3[:, k : k + 1] - pred)
 
         d_theta = jnp.dot(
-            oht_u, (err * q).astype(mxu_dtype),
+            oht_u, (err * p).astype(mxu_dtype),
             preferred_element_type=jnp.float32,
         )
         d_phi = jnp.dot(
-            oht_v, (err * (t * m_fac + m_bias)).astype(mxu_dtype),
+            oht_v, (err * t).astype(mxu_dtype),
             preferred_element_type=jnp.float32,
         )
         wk_mx = wk.astype(mxu_dtype)
         k_u = jnp.dot(oht_u, wk_mx, preferred_element_type=jnp.float32)
         k_v = jnp.dot(oht_v, wk_mx, preferred_element_type=jnp.float32)
-        theta = theta * powk(ln_u, neg_u, k_u) + d_theta * m_keep
+        theta = theta * powk(ln_u, neg_u, k_u) + d_theta * m_keep_u
         phi_out[pl.ds(off, tile_v), :] = (
-            phi * powk(ln_v, neg_v, k_v) + d_phi * m_keep
+            phi * powk(ln_v, neg_v, k_v) + d_phi * m_keep_v
         )
 
     theta_out[:] = theta
@@ -232,7 +231,7 @@ def hypergrad_ext_rows(
     Shared by the single-chip segment runner and the sharded substep runner
     (parallel/adreg_sharded.py)."""
     tf, tb = new_t[:, :dim], new_t[:, dim]
-    pf, pb = new_p[:, :dim], new_p[:, dim]
+    pf, pb = new_p[:, :dim], new_p[:, dim + 1]  # phi rows: [fac | 1 | bias]
     score = jnp.sum(tf * pf, axis=1) + tb + pb + gb
     pred = jax.nn.sigmoid(score) if loss == 1 else score
     grad = sr - pred
@@ -244,10 +243,22 @@ def hypergrad_ext_rows(
             jnp.sum(grad * inner_u),
             jnp.sum(grad * inner_v),
             jnp.sum(grad * old_t[:, dim]),
-            jnp.sum(grad * old_p[:, dim]),
+            jnp.sum(grad * old_p[:, dim + 1]),
         ]
     )
     return jnp.maximum(0.0, lams - scale * steps)
+
+
+def build_adreg_lamvec(dim: int, lams) -> jax.Array:
+    """(2, lanes) per-lane decay rates for the homogeneous rows: lamvec_u =
+    [lam_u x dim | lam_bu | 0..], lamvec_v = [lam_v x dim | 0 | lam_bv | 0..]
+    — zeros on the one-lanes and bookkeeping lanes so they never decay."""
+    lanes = row_lanes(dim)
+    lu = jnp.zeros((lanes,), jnp.float32)
+    lu = lu.at[:dim].set(lams[0]).at[dim].set(lams[2])
+    lv = jnp.zeros((lanes,), jnp.float32)
+    lv = lv.at[:dim].set(lams[1]).at[dim + 1].set(lams[3])
+    return jnp.stack([lu, lv])
 
 
 @functools.partial(
@@ -275,12 +286,7 @@ def _run_adreg_seg_step(
     su, sv, sr = uvv[ksel], vvv[ksel], rvv[ksel]
     old_t = theta_ext[su]
     old_p = phi_ext[sv]
-    lanes = row_lanes(dim)
-    lu = jnp.zeros((lanes,), jnp.float32)
-    lu = lu.at[:dim].set(lams[0]).at[dim].set(lams[2])
-    lv = jnp.zeros((lanes,), jnp.float32)
-    lv = lv.at[:dim].set(lams[1]).at[dim].set(lams[3])
-    lamvec = jnp.stack([lu, lv])
+    lamvec = build_adreg_lamvec(dim, lams)
     theta_ext, phi_ext = _run_adreg_segment(
         theta_ext, phi_ext, gu, gv, u, v, ut, vt, r, w, hyper, lamvec,
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
@@ -395,12 +401,7 @@ class PallasAdRegRunner:
         return pad_params(state.params, self.plan)
 
     def _lamvec(self) -> jax.Array:
-        lanes = row_lanes(self.dim)
-        lu = jnp.zeros((lanes,), jnp.float32)
-        lu = lu.at[: self.dim].set(self.lams[0]).at[self.dim].set(self.lams[2])
-        lv = jnp.zeros((lanes,), jnp.float32)
-        lv = lv.at[: self.dim].set(self.lams[1]).at[self.dim].set(self.lams[3])
-        return jnp.stack([lu, lv])
+        return build_adreg_lamvec(self.dim, self.lams)
 
     def epoch(self, tables, eta: float, eta_reg: float, key: jax.Array,
               epoch_idx: int = 0):

@@ -16,15 +16,21 @@ reformulated to run almost entirely on the MXU:
   whole epoch (DMA'd in at step 0, stored once at the end).
 * Gather/scatter of B arbitrary rows becomes one-hot matmuls on the MXU
   (bf16 operands — exact for one-hots — with fp32 accumulation).
-* **Column fusion**: each table row is laid out as
-  [factor_0..factor_{D-1} | bias | (count scratch)] inside the 128-lane row,
-  so the bias gather rides the factor gather, and the scatter rhs
-  [err*p | err | w] delivers factor deltas, bias deltas, AND per-row touch
-  counts in a single matmul. The counts drive the geometric per-occurrence
-  decay (1 - eta*lambda)^k (same semantics as ops/sgd.py / ops/common.py).
+* **Column fusion, homogeneous coordinates**: a theta row is laid out as
+  [factor_0..D-1 | bu | 1 | (count scratch)] and a phi row as
+  [factor_0..D-1 | 1 | bv | (count scratch)] inside the lane row. The
+  constant one-lanes make the prediction a single fused multiply:
+  rowsum(t * p) = theta.phi + bu*1 + 1*bv, so the mid-chain needs NO lane
+  masks (measured round 2: the rank-64 step is mid-chain-bound; the old
+  masked form spent ~11 VPU ops per rating against 5 here). The scatter rhs
+  is simply err*p (+ w in the count lane): its bias lane lands err on bu,
+  and the garbage it writes into the one-lane is erased once per tile at
+  apply time. Counts drive the geometric per-occurrence decay
+  (1 - eta*lambda)^k (same semantics as ops/sgd.py / ops/common.py).
 
-Rows occupy one 128-lane group for dim <= 126 and two for dim <= 254
-(row_lanes); beyond that the XLA path takes over.
+Rows occupy one 128-lane group for dim <= 125 and two for dim <= 253
+(row_lanes) — the reference default dim=128 (main.cc:98) runs fused in two
+lane groups; beyond that the XLA path takes over.
 """
 
 from __future__ import annotations
@@ -42,13 +48,13 @@ from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.mf import MFParams
 
 LANES = 128           # base lane width; rows use 1-2 lane groups
-MAX_DIM = 2 * LANES - 2  # row = [dim factors | bias | count] in <=256 lanes
+MAX_DIM = 2 * LANES - 3  # row = [dim factors | bias | one | count] <=256 lanes
 
 
 def row_lanes(dim: int) -> int:
-    """Lane width of a fused table row: 128 for dim <= 126, else 256."""
+    """Lane width of a fused table row: 128 for dim <= 125, else 256."""
     assert dim <= MAX_DIM, f"fused kernels support dim <= {MAX_DIM}, got {dim}"
-    return LANES if dim <= LANES - 2 else 2 * LANES
+    return LANES if dim <= LANES - 3 else 2 * LANES
 
 
 def cdiv(a: int, b: int) -> int:
@@ -83,6 +89,23 @@ def prepare_cells(
     tile_v: int = 512,
     batch_size: int = 2048,
     seed: int = 0,
+) -> CellPlan:
+    """Disk-cached plan build (ops/plan_cache.py): Netflix-scale argsorts
+    cost ~145 s on a 1-core host; a second run loads in seconds."""
+    from tpu_mf.ops.plan_cache import cached_build
+
+    return cached_build(
+        "cell", CellPlan, ds, seed, (tile_u, tile_v, batch_size),
+        lambda: _prepare_cells_impl(ds, tile_u, tile_v, batch_size, seed),
+    )
+
+
+def _prepare_cells_impl(
+    ds: RatingsCOO,
+    tile_u: int,
+    tile_v: int,
+    batch_size: int,
+    seed: int,
 ) -> CellPlan:
     """Bin shuffled ratings into (user-tile, item-tile) cells, pad each cell
     to whole SUB-batches (B/8), pack 8 sub-batches per batch within each
@@ -146,22 +169,26 @@ def prepare_cells(
     )
 
 
+def fuse_rows(fac, bias, rows: int, lanes: int, side: str) -> jax.Array:
+    """Homogeneous fused rows. side="u": [fac | bias | 1 | 0...];
+    side="v": [fac | 1 | bias | 0...]. Pad rows keep one=1 harmlessly=0:
+    they are never gathered (sentinel one-hots are all-zero)."""
+    n = fac.shape[0]
+    one = jnp.ones((n, 1), fac.dtype)
+    cols = [fac, bias[:, None], one] if side == "u" else [fac, one, bias[:, None]]
+    ext = jnp.concatenate(cols, axis=1)
+    return jnp.pad(
+        ext, ((0, rows - n), (0, lanes - ext.shape[1]))
+    ).astype(jnp.float32)
+
+
 def pad_params(params: MFParams, plan: CellPlan) -> Tuple[jax.Array, jax.Array]:
-    """Fused-layout tables: rows are [factors | bias | 0] in row_lanes(dim)."""
+    """Fused-layout tables (homogeneous rows, see module docstring)."""
     dim = params.theta.shape[1]
     lanes = row_lanes(dim)
-    pu = plan.n_gu * plan.tile_u
-    pv = plan.n_gv * plan.tile_v
-
-    def fuse(fac, bias, rows):
-        ext = jnp.concatenate([fac, bias[:, None]], axis=1)
-        return jnp.pad(
-            ext, ((0, rows - ext.shape[0]), (0, lanes - ext.shape[1]))
-        ).astype(jnp.float32)
-
     return (
-        fuse(params.theta, params.bu, pu),
-        fuse(params.phi, params.bv, pv),
+        fuse_rows(params.theta, params.bu, plan.n_gu * plan.tile_u, lanes, "u"),
+        fuse_rows(params.phi, params.bv, plan.n_gv * plan.tile_v, lanes, "v"),
     )
 
 
@@ -172,7 +199,7 @@ def split_params(
         theta=theta_ext[:nu, :dim],
         phi=phi_ext[:nv, :dim],
         bu=theta_ext[:nu, dim],
-        bv=phi_ext[:nv, dim],
+        bv=phi_ext[:nv, dim + 1],  # phi rows are [fac | 1 | bias]
         gb=jnp.asarray(gb, jnp.float32),
     )
 
@@ -193,7 +220,7 @@ def _epoch_kernel(
     # scratch
     acc, sem,
     *, tile_u: int, tile_v: int, batch: int, dim: int, lanes: int, mxu_dtype,
-    theta_groups: int = 8, phi_groups: int = 8,
+    theta_groups: int = 8, phi_groups: int = 8, scatter_dg: bool = False,
 ):
     eta = hyper_ref[0]
     lam = hyper_ref[1]
@@ -235,12 +262,15 @@ def _epoch_kernel(
 
     theta = theta_out[:]                   # (TILE_U, lanes) fp32 state
 
-    # Lane-role masks for the fused [factors | bias | count] row layout.
+    # Lane roles for the homogeneous rows (module docstring): theta =
+    # [fac | bu | 1 | cnt], phi = [fac | 1 | bv | cnt]. The mid-chain uses
+    # NO masks; these only shape the per-tile apply.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
-    m_fac = (lane < dim).astype(jnp.float32)        # factor lanes
-    m_bias = (lane == dim).astype(jnp.float32)      # bias lane
-    m_cnt = (lane == dim + 1).astype(jnp.float32)   # count scratch lane
-    m_keep = m_fac + m_bias                         # persisted lanes
+    m_cnt = (lane == dim + 2).astype(jnp.float32)   # count scratch lane
+    m_keep_u = (lane <= dim).astype(jnp.float32)    # fac + bu persist
+    m_one_u = (lane == dim + 1).astype(jnp.float32)
+    m_keep_v = ((lane < dim) | (lane == dim + 1)).astype(jnp.float32)
+    m_one_v = (lane == dim).astype(jnp.float32)
 
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_u), 1)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_v), 1)
@@ -278,36 +308,51 @@ def _epoch_kernel(
         # one-hot.
         oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
         oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
-        oht_u = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
-        oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
+        if not scatter_dg:
+            oht_u = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
+            oht_v = (iota_vt == vt3[k : k + 1, :]).astype(mxu_dtype)
 
-        # Fused gathers: factors and bias in one MXU pass per side.
+        # Fused gathers: factors, bias, and the homogeneous 1 in one MXU
+        # pass per side.
         t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
         p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
 
-        # pred = t.p + bu + bv + gb, via lane masks:
-        # rowsum(t*(p*m_fac + m_bias) + p*m_bias) = t.p + bu + bv.
-        q = p * m_fac + m_bias
-        pred = jnp.sum(t * q + p * m_bias, axis=1, keepdims=True) + gb
+        # Homogeneous rows: rowsum(t*p) = t.p + bu*1 + 1*bv — no masks.
+        pred = jnp.sum(t * p, axis=1, keepdims=True) + gb
         wk = w3[:, k : k + 1]
         err = (eta * wk) * (r3[:, k : k + 1] - pred)  # (B/8, 1)
 
-        # Fused scatters: rhs lanes carry [err*p_fac | err | w], so one
-        # MXU pass per side yields factor deltas, bias delta, and touch
-        # counts.
-        rhs_u = (err * q + wk * m_cnt).astype(mxu_dtype)
-        rhs_v = (err * (t * m_fac + m_bias) + wk * m_cnt).astype(mxu_dtype)
-        d_theta_g += jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
-        d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+        # Fused scatters: err*p delivers factor deltas AND (via phi's
+        # one-lane) the bias delta; w in the count lane. The garbage this
+        # writes into the opposite one-lane dies at the tile apply.
+        rhs_u = (err * p + wk * m_cnt).astype(mxu_dtype)
+        rhs_v = (err * t + wk * m_cnt).astype(mxu_dtype)
+        if scatter_dg:
+            # Contract the sublane axis of the GATHER one-hots: no
+            # transposed one-hot construction (halves the one-hot build).
+            dg = (((0,), (0,)), ((), ()))
+            d_theta_g += jax.lax.dot_general(
+                oh_u, rhs_u, dg, preferred_element_type=jnp.float32
+            )
+            d_phi = jax.lax.dot_general(
+                oh_v, rhs_v, dg, preferred_element_type=jnp.float32
+            )
+        else:
+            d_theta_g += jnp.dot(
+                oht_u, rhs_u, preferred_element_type=jnp.float32
+            )
+            d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
 
         if phi_groups == 8:
             # Fully sequential item side: geometric per-occurrence decay
             # (ops/common.py semantics; counts came through the scratch
             # lane) applied NOW so the next column sees this one's updates.
+            # The keep/one masks also re-pin the homogeneous lane to 1 and
+            # clear the count scratch + scatter garbage.
             k_v = jnp.sum(d_phi * m_cnt, axis=1, keepdims=True)
             phi_out[pl.ds(off, tile_v), :] = (
-                phi * jnp.exp(k_v * ln_lameta) + d_phi * m_keep
-            )
+                phi * jnp.exp(k_v * ln_lameta) + d_phi
+            ) * m_keep_v + m_one_v
         else:
             pending.append((k, off, phi, d_phi))
             if k % pg_w == pg_w - 1:
@@ -319,8 +364,8 @@ def _epoch_kernel(
                         a = acc[pl.ds(off_, tile_v), :]
                         k_v = jnp.sum(a * m_cnt, axis=1, keepdims=True)
                         phi_out[pl.ds(off_, tile_v), :] = (
-                            phi_ * jnp.exp(k_v * ln_lameta) + a * m_keep
-                        )
+                            phi_ * jnp.exp(k_v * ln_lameta) + a
+                        ) * m_keep_v + m_one_v
                         acc[pl.ds(off_, tile_v), :] = jnp.zeros_like(a)
 
                 pending = []
@@ -328,7 +373,9 @@ def _epoch_kernel(
         if k % tg_w == tg_w - 1:
             # User tile: apply the group's accumulated deltas and decay.
             k_u = jnp.sum(d_theta_g * m_cnt, axis=1, keepdims=True)
-            theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * m_keep
+            theta = (
+                theta * jnp.exp(k_u * ln_lameta) + d_theta_g
+            ) * m_keep_u + m_one_u
 
     theta_out[:] = theta
 
@@ -338,14 +385,14 @@ def _epoch_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu",
-        "interpret", "theta_groups", "phi_groups",
+        "interpret", "theta_groups", "phi_groups", "scatter_dg",
     ),
 )
 def _run_epoch(
     theta_ext, phi_ext,
     gu, gv, uv, uvt, r, hyper, ap=None,
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
-    theta_groups=8, phi_groups=8,
+    theta_groups=8, phi_groups=8, scatter_dg=False,
 ):
     assert theta_groups in (1, 2, 4, 8), (
         f"theta_groups must divide the 8 lane columns, got {theta_groups}"
@@ -365,7 +412,7 @@ def _run_epoch(
         _epoch_kernel,
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, lanes=lanes,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
-        phi_groups=phi_groups,
+        phi_groups=phi_groups, scatter_dg=scatter_dg,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -454,7 +501,9 @@ class PallasEpochRunner:
         theta_groups=None,
         phi_groups=None,
         n_plans: int = 1,
+        scatter_dg: bool = False,
     ):
+        self.scatter_dg = scatter_dg
         batch = cdiv(batch, 8) * 8
         # n_plans > 1 rotates between independently-shuffled cell plans per
         # epoch, restoring between-epoch reshuffling (the reference replays
@@ -552,7 +601,7 @@ class PallasEpochRunner:
             dim=self.dim, n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
-            phi_groups=pg,
+            phi_groups=pg, scatter_dg=self.scatter_dg,
         )
 
     def pad(self, params: MFParams):

@@ -62,14 +62,15 @@ from tpu_mf.ops.pallas_sgd_packed import (
 
 
 def mega_packing_factor(dim: int) -> int:
-    """Rows per 128-lane register row; 1 for 62 < dim <= 126."""
+    """Rows per 128-lane register row; 1 for 62 < dim <= 125 (the pack=1
+    homogeneous rows need [fac | bias | one | cnt] = dim+3 lanes)."""
     if dim + 2 <= 16:
         return 8
     if dim + 2 <= 32:
         return 4
     if dim + 2 <= 64:
         return 2
-    if dim + 2 <= LANES:
+    if dim + 3 <= LANES:
         return 1
     return 0  # needs the 256-lane blocked kernel
 
@@ -112,7 +113,7 @@ def _mega_kernel(
     # scratch
     acc, sem_t, sem_p,
     *, tile_u: int, tile_v: int, batch: int, dim: int, pack: int, mega: int,
-    mxu_dtype, theta_groups: int, phi_groups: int,
+    mxu_dtype, theta_groups: int, phi_groups: int, scatter_dg: bool = False,
 ):
     P = pack
     m = LANES // P
@@ -136,17 +137,36 @@ def _mega_kernel(
             acc[:] = jnp.zeros_like(acc)
 
     sub = batch // 8
-    # Lane-role masks for the packed [factors | bias | count | pad] slots.
+    # Lane-role masks. P>1: packed [factors | bias | count | pad] slots.
+    # P=1: homogeneous rows [fac | bu | 1 | cnt] / [fac | 1 | bv | cnt]
+    # (see ops/pallas_sgd.py — identical layout and mid-chain).
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     slot_lane = lane >> (m.bit_length() - 1)  # lane // m
     inslot = lane - slot_lane * m
     m_fac = (inslot < dim).astype(jnp.float32)
     m_bias = (inslot == dim).astype(jnp.float32)
-    m_cnt = (inslot == dim + 1).astype(jnp.float32)
-    m_keep = m_fac + m_bias
-    # Count-broadcast one-hot: (d @ CB)[:, l] == d[:, slot(l)*m + dim+1].
+    cnt_lane = dim + 2 if P == 1 else dim + 1
+    m_cnt = (inslot == cnt_lane).astype(jnp.float32)
+    if P == 1:
+        m_keep_u = (lane <= dim).astype(jnp.float32)
+        m_one_u = (lane == dim + 1).astype(jnp.float32)
+        m_keep_v = ((lane < dim) | (lane == dim + 1)).astype(jnp.float32)
+        m_one_v = (lane == dim).astype(jnp.float32)
+    else:
+        m_keep = m_fac + m_bias
+    # Count-broadcast one-hot: (d @ CB)[:, l] == d[:, slot(l)*m + cnt_lane].
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    CB = (c_iota == slot_lane * m + (dim + 1)).astype(jnp.float32)
+    CB = (c_iota == slot_lane * m + cnt_lane).astype(jnp.float32)
+
+    def apply_u(tab, kc, d):
+        if P == 1:
+            return (tab * jnp.exp(kc * ln_lameta) + d) * m_keep_u + m_one_u
+        return tab * jnp.exp(kc * ln_lameta) + d * m_keep
+
+    def apply_v(tab, kc, d):
+        if P == 1:
+            return (tab * jnp.exp(kc * ln_lameta) + d) * m_keep_v + m_one_v
+        return tab * jnp.exp(kc * ln_lameta) + d * m_keep
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, rows_u), 1)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, rows_v), 1)
     iota_ut = jax.lax.broadcasted_iota(jnp.int32, (rows_u, sub), 0)
@@ -184,8 +204,13 @@ def _mega_kernel(
             uk = u3[:, k : k + 1]
             oh_u = (iota_u == (uk >> lgP)).astype(mxu_dtype)
             oh_v = (iota_v == (v3[:, k : k + 1] >> lgP)).astype(mxu_dtype)
-            oht_u = (iota_ut == (ut3[k : k + 1, :] >> lgP)).astype(mxu_dtype)
-            oht_v = (iota_vt == (vt3[k : k + 1, :] >> lgP)).astype(mxu_dtype)
+            if not scatter_dg:
+                oht_u = (iota_ut == (ut3[k : k + 1, :] >> lgP)).astype(
+                    mxu_dtype
+                )
+                oht_v = (iota_vt == (vt3[k : k + 1, :] >> lgP)).astype(
+                    mxu_dtype
+                )
 
             t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
             p0 = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
@@ -204,24 +229,38 @@ def _mega_kernel(
                 rhs_u = (err * q + cnt).astype(mxu_dtype)
                 rhs_v0 = err * ((t * m_fac + m_bias) * msk) + cnt
             else:
-                q = p * m_fac + m_bias
-                pred = jnp.sum(t * q + p * m_bias, axis=1, keepdims=True) + gb
+                # Homogeneous rows: one fused multiply, no lane masks
+                # (ops/pallas_sgd.py mid-chain).
+                pred = jnp.sum(t * p, axis=1, keepdims=True) + gb
                 err = (eta * wk) * (r3[:, k : k + 1] - pred)
-                rhs_u = (err * q + wk * m_cnt).astype(mxu_dtype)
-                rhs_v0 = err * (t * m_fac + m_bias) + wk * m_cnt
+                rhs_u = (err * p + wk * m_cnt).astype(mxu_dtype)
+                rhs_v0 = err * t + wk * m_cnt
             rhs_v = (
                 pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
             ).astype(mxu_dtype)
-            d_theta_g += jnp.dot(
-                oht_u, rhs_u, preferred_element_type=jnp.float32
-            )
-            d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+            if scatter_dg:
+                # Contract the sublane axis of the GATHER one-hots directly:
+                # no transposed one-hot construction (halves the one-hot
+                # build cost — the measured rank-64 wall alongside the
+                # mid-chain).
+                dg = (((0,), (0,)), ((), ()))
+                d_theta_g += jax.lax.dot_general(
+                    oh_u, rhs_u, dg, preferred_element_type=jnp.float32
+                )
+                d_phi = jax.lax.dot_general(
+                    oh_v, rhs_v, dg, preferred_element_type=jnp.float32
+                )
+            else:
+                d_theta_g += jnp.dot(
+                    oht_u, rhs_u, preferred_element_type=jnp.float32
+                )
+                d_phi = jnp.dot(
+                    oht_v, rhs_v, preferred_element_type=jnp.float32
+                )
 
             if phi_groups == 8:
                 k_v = jnp.dot(d_phi, CB, preferred_element_type=jnp.float32)
-                phi_out[pl.ds(off, rows_v), :] = (
-                    phi * jnp.exp(k_v * ln_lameta) + d_phi * m_keep
-                )
+                phi_out[pl.ds(off, rows_v), :] = apply_v(phi, k_v, d_phi)
             else:
                 pending.append((k, off, phi, d_phi))
                 if k % pg_w == pg_w - 1:
@@ -234,8 +273,8 @@ def _mega_kernel(
                             k_v = jnp.dot(
                                 a, CB, preferred_element_type=jnp.float32
                             )
-                            phi_out[pl.ds(off_, rows_v), :] = (
-                                phi_ * jnp.exp(k_v * ln_lameta) + a * m_keep
+                            phi_out[pl.ds(off_, rows_v), :] = apply_v(
+                                phi_, k_v, a
                             )
                             acc[pl.ds(off_, rows_v), :] = jnp.zeros_like(a)
 
@@ -245,7 +284,7 @@ def _mega_kernel(
                 k_u = jnp.dot(
                     d_theta_g, CB, preferred_element_type=jnp.float32
                 )
-                theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * m_keep
+                theta = apply_u(theta, k_u, d_theta_g)
 
         theta_out[pl.ds(off_u, rows_u), :] = theta
         return carry
@@ -258,14 +297,14 @@ def _mega_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "pack", "mega", "n_gu", "n_gv",
-        "mxu", "interpret", "theta_groups", "phi_groups",
+        "mxu", "interpret", "theta_groups", "phi_groups", "scatter_dg",
     ),
 )
 def _run_mega_epoch(
     theta_p, phi_p,
     gu, gv, ap, uv, uvt, r, hyper,
     *, tile_u, tile_v, batch, dim, pack, mega, n_gu, n_gv, mxu="bfloat16",
-    interpret=False, theta_groups=8, phi_groups=8,
+    interpret=False, theta_groups=8, phi_groups=8, scatter_dg=False,
 ):
     assert theta_groups in (1, 2, 4, 8), theta_groups
     assert phi_groups in (1, 2, 4, 8), phi_groups
@@ -280,7 +319,7 @@ def _run_mega_epoch(
         _mega_kernel,
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, pack=pack,
         mega=mega, mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
-        phi_groups=phi_groups,
+        phi_groups=phi_groups, scatter_dg=scatter_dg,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -346,7 +385,9 @@ class MegaEpochRunner:
         dim: int | None = None,
         pack: int | None = None,
         mega: int | None = None,
+        scatter_dg: bool = False,
     ):
+        self.scatter_dg = scatter_dg
         if pack is None:
             assert dim is not None, "pass dim= or pack="
             pack = mega_packing_factor(dim)
@@ -437,15 +478,32 @@ class MegaEpochRunner:
             n_gu=self.plan.n_gu, n_gv=self.plan.n_gv,
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
-            phi_groups=pg,
+            phi_groups=pg, scatter_dg=self.scatter_dg,
         )
 
     def pad(self, params: MFParams):
         self.dim = params.theta.shape[1]
         self.gb = float(params.gb)
+        if self.pack == 1:
+            # pack=1 uses the homogeneous rows of the base kernel.
+            from tpu_mf.ops.pallas_sgd import fuse_rows
+
+            return (
+                fuse_rows(params.theta, params.bu,
+                          self.plan.n_gu * self.tile_u, LANES, "u"),
+                fuse_rows(params.phi, params.bv,
+                          self.plan.n_gv * self.tile_v, LANES, "v"),
+            )
         return pack_params(params, self.plan)
 
     def trim(self, tables, dim: int | None = None) -> MFParams:
+        if self.pack == 1:
+            from tpu_mf.ops.pallas_sgd import split_params
+
+            return split_params(
+                tables[0], tables[1], self.nu, self.nv, dim or self.dim,
+                self.gb,
+            )
         return unpack_params(
             tables[0], tables[1], self.nu, self.nv, dim or self.dim,
             self.gb, self.pack,

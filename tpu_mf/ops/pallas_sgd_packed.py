@@ -95,6 +95,25 @@ def prepare_cells_packed(
     seed: int,
     pack: int,
 ) -> PackedPlan:
+    """Disk-cached plan build (ops/plan_cache.py)."""
+    from tpu_mf.ops.plan_cache import cached_build
+
+    return cached_build(
+        "packed", PackedPlan, ds, seed, (tile_u, tile_v, batch_size, pack),
+        lambda: _prepare_cells_packed_impl(
+            ds, tile_u, tile_v, batch_size, seed, pack
+        ),
+    )
+
+
+def _prepare_cells_packed_impl(
+    ds: RatingsCOO,
+    tile_u: int,
+    tile_v: int,
+    batch_size: int,
+    seed: int,
+    pack: int,
+) -> PackedPlan:
     """Bin shuffled ratings into (user-tile, item-tile, delta) buckets, pad
     each bucket to whole sub-batches of B/8, pack 8 sub-batches per batch
     within each user-tile group, and order batches by gu."""

@@ -29,10 +29,15 @@ slot ``id % P``'s lanes (other lanes zero). Then
 Slot alignment constraints are host-side plan construction, as in the
 packed kernel: rating (u, v) goes to slot j = u %% P of a column whose
 delta class is (v - u) %% P (static lane rolls align item slots onto user
-slots). Per-slot ratings/bias/weights broadcast to their slot's lanes via
-tiny (sub, P) @ (P, 128) one-hot matmuls. Geometric per-occurrence decay,
+slots). Per-slot ratings broadcast to their slot's lanes via tiny
+(sub, P) @ (P, 128) one-hot matmuls. Geometric per-occurrence decay,
 adaptive theta/phi grouping, deferred item apply, and the resident item
-table all match the packed kernel. P in {2, 4, 8} (dim <= 62).
+table all match the packed kernel.
+
+Round 3: slots are HOMOGENEOUS rows — theta [fac | bu | 1 | cnt], phi
+[fac | 1 | bv | cnt] (ops/pallas_sgd.py) — so the mid-chain is maskless:
+pred = slot-sum(t*p) + gb, rhs = err*p / err*t (5 elementwise ops vs 11).
+P in {2, 4, 8} (dim <= 61).
 
 Reference cost model being beaten: src/mf.h:94-109 (~10*dim flops + 4 row
 accesses per rating, CPU memory-bound).
@@ -59,7 +64,6 @@ from tpu_mf.ops.pallas_sgd import (
     _dup_stats,
     cdiv,
 )
-from tpu_mf.ops.pallas_sgd_packed import packing_factor
 
 
 class SlotPlan(NamedTuple):
@@ -81,6 +85,23 @@ class SlotPlan(NamedTuple):
 
 
 def prepare_cells_slot(
+    ds: RatingsCOO,
+    tile_u: int,
+    tile_v: int,
+    sub: int,
+    seed: int,
+    pack: int,
+) -> SlotPlan:
+    """Disk-cached plan build (ops/plan_cache.py)."""
+    from tpu_mf.ops.plan_cache import cached_build
+
+    return cached_build(
+        "slot", SlotPlan, ds, seed, (tile_u, tile_v, sub, pack),
+        lambda: _prepare_cells_slot_impl(ds, tile_u, tile_v, sub, seed, pack),
+    )
+
+
+def _prepare_cells_slot_impl(
     ds: RatingsCOO,
     tile_u: int,
     tile_v: int,
@@ -157,6 +178,17 @@ def cdiv_np(a, b):
     return -(-a // b)
 
 
+def slot_col_ids(ids: np.ndarray, pack: int) -> np.ndarray:
+    """(NB, sub, 8P) segment-local ids -> (NB, sub*P, 8) full-local ids for
+    duplicate-window statistics (sentinel rows map >= tile)."""
+    P = pack
+    nb, sub, _ = ids.shape
+    i4 = ids.reshape(nb, sub, 8, P)
+    j = np.arange(P, dtype=ids.dtype)
+    full = i4 * P + j  # local id = packed_row * P + slot
+    return np.swapaxes(full, 2, 3).reshape(nb, sub * P, 8)
+
+
 def _slot_bucket_counts(
     ds: RatingsCOO, tile_u: int, tile_v: int, pack: int
 ) -> np.ndarray:
@@ -194,7 +226,7 @@ def slot_dup_lower_bound(
     """
     if pack is None:
         assert dim is not None, "pass dim= or pack="
-        pack = packing_factor(dim)
+        pack = slot_packing_factor(dim)
     P = pack
     tile_u = tile_u or 128 * P
     tile_v = tile_v or 128 * P
@@ -253,32 +285,51 @@ def pick_sub(counts: np.ndarray, pack: int) -> int:
     return best
 
 
+def slot_packing_factor(dim: int) -> int:
+    """Rows per 128-lane row; slot = [fac | bias | one | cnt] (homogeneous
+    rows, like ops/pallas_sgd.py)."""
+    if dim + 3 <= 16:
+        return 8
+    if dim + 3 <= 32:
+        return 4
+    if dim + 3 <= 64:
+        return 2
+    return 1
+
+
 def pack_params_slot(
     params: MFParams, plan: SlotPlan
 ) -> Tuple[jax.Array, jax.Array]:
     """Slot-major stacked tables: table row ``id`` at physical row
     (id // tile)*tile + (id % P)*rows + (id % tile)//P, data in slot
-    id % P's lanes only."""
+    id % P's lanes only. Homogeneous slots — theta [fac | bu | 1 | cnt],
+    phi [fac | 1 | bv | cnt] — so pred = slot-sum(t*p) + gb with no lane
+    masks in the mid-chain."""
     P = plan.pack
     m = LANES // P
     dim = params.theta.shape[1]
-    assert dim + 2 <= m
+    assert dim + 3 <= m
 
-    def pack(fac, bias, tile, total_rows):
+    def pack(fac, bias, tile, total_rows, one_first):
         n = fac.shape[0]
         ids = np.arange(n)
         rows = tile // P
         phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
         slot = ids % P
-        fused = jnp.concatenate([fac, bias[:, None]], axis=1)
+        one = jnp.ones((n, 1), jnp.float32)
+        b = bias[:, None].astype(jnp.float32)
+        cols = [fac.astype(jnp.float32)] + ([one, b] if one_first else [b, one])
+        fused = jnp.concatenate(cols, axis=1)
         fused = jnp.pad(fused, ((0, 0), (0, m - fused.shape[1])))
         out = jnp.zeros((total_rows, P, m), jnp.float32)
-        out = out.at[phys, slot].set(fused.astype(jnp.float32))
+        out = out.at[phys, slot].set(fused)
         return out.reshape(total_rows, LANES)
 
     return (
-        pack(params.theta, params.bu, plan.tile_u, plan.n_gu * plan.tile_u),
-        pack(params.phi, params.bv, plan.tile_v, plan.n_gv * plan.tile_v),
+        pack(params.theta, params.bu, plan.tile_u,
+             plan.n_gu * plan.tile_u, False),
+        pack(params.phi, params.bv, plan.tile_v,
+             plan.n_gv * plan.tile_v, True),
     )
 
 
@@ -288,17 +339,17 @@ def unpack_params_slot(
     P = pack
     m = LANES // P
 
-    def unpack(tab, n, tile):
+    def unpack(tab, n, tile, bias_lane):
         ids = np.arange(n)
         rows = tile // P
         phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
         slot = ids % P
         t3 = tab.reshape(-1, P, m)
         fused = t3[phys, slot]
-        return fused[:, :dim], fused[:, dim]
+        return fused[:, :dim], fused[:, bias_lane]
 
-    th, bu = unpack(theta_s, nu, tile_u)
-    ph, bv = unpack(phi_s, nv, tile_v)
+    th, bu = unpack(theta_s, nu, tile_u, dim)
+    ph, bv = unpack(phi_s, nv, tile_v, dim + 1)  # phi slot: [fac | 1 | bv]
     return MFParams(theta=th, phi=ph, bu=bu, bv=bv,
                     gb=jnp.asarray(gb, jnp.float32))
 
@@ -349,17 +400,20 @@ def _slot_kernel(
     r3 = r_ref[0]      # (sub, 8P)
     theta = theta_out[:]  # (TILE_U, 128) slot-major state
 
-    # Lane-role constants.
+    # Lane-role constants for the homogeneous slots: theta [fac|bu|1|cnt],
+    # phi [fac|1|bv|cnt] (pack_params_slot).
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
     slot_lane = lane >> (m.bit_length() - 1)
     inslot = lane - slot_lane * m
     m_fac = (inslot < dim).astype(jnp.float32)
-    m_bias = (inslot == dim).astype(jnp.float32)
-    m_cnt = (inslot == dim + 1).astype(jnp.float32)
-    m_keep = m_fac + m_bias
-    # Count-broadcast: (d @ CB)[:, l] == d[:, slot(l)*m + dim + 1].
+    m_bias_u = (inslot == dim).astype(jnp.float32)
+    m_one_u = (inslot == dim + 1).astype(jnp.float32)
+    m_bias_v = m_one_u
+    m_one_v = m_bias_u
+    m_cnt = (inslot == dim + 2).astype(jnp.float32)
+    # Count-broadcast: (d @ CB)[:, l] == d[:, slot(l)*m + dim + 2].
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
-    CB = (c_iota == slot_lane * m + (dim + 1)).astype(jnp.float32)
+    CB = (c_iota == slot_lane * m + (dim + 2)).astype(jnp.float32)
     # Slot-sum broadcast: (S @ SS)[:, l] = sum over l' in slot(l) of S[:, l'].
     SS = (slot_lane == (c_iota >> (m.bit_length() - 1))).astype(jnp.float32)
     # Per-slot scalar broadcast: (x (sub,P) @ E)[:, l] = x[:, slot(l)].
@@ -372,13 +426,20 @@ def _slot_kernel(
     iota_rut = jax.lax.broadcasted_iota(jnp.int32, (rows_u, sub), 0)
     iota_rvt = jax.lax.broadcasted_iota(jnp.int32, (rows_v, sub), 0)
     # Scatter-garbage eraser folded with the keep mask: physical row block
-    # j keeps only slot j's [factors | bias] lanes.
+    # j keeps only slot j's [factors | bias] lanes. The one-lane restores
+    # are ALSO own-slot masked — an unmasked constant would leave 1s in
+    # other slots' lanes, which the multi-hot gather (P ones per row) then
+    # SUMS into every gathered slot.
     rseg_u = jax.lax.broadcasted_iota(jnp.int32, (tile_u, 1), 0) // rows_u
-    MK_u = (rseg_u == slot_lane).astype(jnp.float32) * m_keep
-    MC_u = (rseg_u == slot_lane).astype(jnp.float32) * m_cnt
+    mkd_u = (rseg_u == slot_lane).astype(jnp.float32)
+    MK_u = mkd_u * (m_fac + m_bias_u)
+    M1_u = mkd_u * m_one_u
+    MC_u = mkd_u * m_cnt
     rseg_v = jax.lax.broadcasted_iota(jnp.int32, (tile_v, 1), 0) // rows_v
-    MK_v = (rseg_v == slot_lane).astype(jnp.float32) * m_keep
-    MS_v = (rseg_v == slot_lane).astype(jnp.float32) * (m_keep + m_cnt)
+    mkd_v = (rseg_v == slot_lane).astype(jnp.float32)
+    MK_v = mkd_v * (m_fac + m_bias_v)
+    M1_v = mkd_v * m_one_v
+    MS_v = mkd_v * (m_fac + m_bias_v + m_cnt)
 
     lameta = 1.0 - eta * lam
     ln_lameta = jnp.log(lameta)
@@ -459,14 +520,13 @@ def _slot_kernel(
             r3[:, k * P : (k + 1) * P], E, preferred_element_type=jnp.float32
         )
 
-        # pred per slot: rowsum within the slot via the SS matmul.
-        q = p * m_fac + m_bias
-        S = t * q + p * m_bias
-        pred = jnp.dot(S, SS, preferred_element_type=jnp.float32) + gb
+        # Homogeneous slots: slot-sum(t*p) = t.p + bu + bv — NO masks (the
+        # cnt lanes of stored rows are zero; unused lanes are zero).
+        pred = jnp.dot(t * p, SS, preferred_element_type=jnp.float32) + gb
         err = eta * (r_b - pred)
 
-        rhs_u = (err * q + m_cnt).astype(mxu_dtype)
-        rhs_v0 = err * (t * m_fac + m_bias) + m_cnt
+        rhs_u = (err * p + m_cnt).astype(mxu_dtype)
+        rhs_v0 = err * t + m_cnt
         rhs_v = (
             pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
         ).astype(mxu_dtype)
@@ -492,8 +552,8 @@ def _slot_kernel(
                 d_phi * MS_v, CB, preferred_element_type=jnp.float32
             )
             phi_out[pl.ds(off, tile_v), :] = (
-                phi * jnp.exp(k_v * ln_lameta) + d_phi * MK_v
-            )
+                phi * jnp.exp(k_v * ln_lameta) + d_phi
+            ) * MK_v + M1_v
         else:
             pending.append((k, off, phi, d_phi))
             if k % pg_w == pg_w - 1:
@@ -512,8 +572,8 @@ def _slot_kernel(
                             a, CB, preferred_element_type=jnp.float32
                         )
                         phi_out[pl.ds(off_, tile_v), :] = (
-                            phi_ * jnp.exp(k_v * ln_lameta) + a * m_keep
-                        )
+                            phi_ * jnp.exp(k_v * ln_lameta) + a
+                        ) * MK_v + M1_v
                         acc[pl.ds(off_, tile_v), :] = jnp.zeros_like(a)
 
                 pending = []
@@ -522,7 +582,9 @@ def _slot_kernel(
             k_u = jnp.dot(
                 d_theta_g * MC_u, CB, preferred_element_type=jnp.float32
             )
-            theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * MK_u
+            theta = (
+                theta * jnp.exp(k_u * ln_lameta) + d_theta_g
+            ) * MK_u + M1_u
 
     theta_out[:] = theta
 
@@ -661,7 +723,7 @@ class SlotEpochRunner:
     ):
         if pack is None:
             assert dim is not None, "pass dim= or pack="
-            pack = packing_factor(dim)
+            pack = slot_packing_factor(dim)
         assert pack in (2, 4, 8), (
             f"slot kernel needs pack in 2/4/8 (dim <= 62), got {pack}"
         )
@@ -722,14 +784,7 @@ class SlotEpochRunner:
         self.dev = self.devs[0]
 
     def _col_ids(self, ids: np.ndarray, sentinel: int) -> np.ndarray:
-        """(NB, sub, 8P) segment-local ids -> (NB, sub*P, 8) full-local ids
-        for the duplicate-window statistics (sentinel rows map >= tile)."""
-        P = self.pack
-        nb, sub, _ = ids.shape
-        i4 = ids.reshape(nb, sub, 8, P)
-        j = np.arange(P, dtype=ids.dtype)
-        full = i4 * P + j  # local id = packed_row * P + slot
-        return np.swapaxes(full, 2, 3).reshape(nb, sub * P, 8)
+        return slot_col_ids(ids, self.pack)
 
     @property
     def n_slots(self) -> int:
@@ -816,7 +871,7 @@ def slot_eligible(params: MFParams, batch_size: int = 8192) -> bool:
     """Slot kernel needs dim <= 62 and the slot-major (unpacked-width) item
     table + deferred scratch resident in VMEM."""
     dim = params.theta.shape[1]
-    pack = packing_factor(dim)
+    pack = slot_packing_factor(dim)
     if pack < 2:
         return False
     nv = params.phi.shape[0]

@@ -30,8 +30,8 @@ from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.admf import AdaptRegState
 from tpu_mf.models.mf import MFParams
 from tpu_mf.ops import pallas_adreg
-from tpu_mf.ops.pallas_adreg import hypergrad_ext_rows
-from tpu_mf.ops.pallas_sgd import cdiv, row_lanes
+from tpu_mf.ops.pallas_adreg import build_adreg_lamvec, hypergrad_ext_rows
+from tpu_mf.ops.pallas_sgd import cdiv
 from tpu_mf.parallel.dsgd_pallas import (
     pad_sharded,
     partition_pallas,
@@ -141,12 +141,7 @@ class ShardedAdRegRunner:
         return pad_sharded(state.params, self.splan, self.mesh)
 
     def _lamvec(self) -> jax.Array:
-        lanes = row_lanes(self.dim)
-        lu = jnp.zeros((lanes,), jnp.float32)
-        lu = lu.at[: self.dim].set(self.lams[0]).at[self.dim].set(self.lams[2])
-        lv = jnp.zeros((lanes,), jnp.float32)
-        lv = lv.at[: self.dim].set(self.lams[1]).at[self.dim].set(self.lams[3])
-        return jnp.stack([lu, lv])
+        return build_adreg_lamvec(self.dim, self.lams)
 
     def _phi_pos(self, j: jax.Array, s: int) -> jax.Array:
         """Row position of global item id j in the rotated phi_ext at state s."""

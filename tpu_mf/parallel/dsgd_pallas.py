@@ -119,23 +119,20 @@ def partition_pallas(
 
 
 def pad_sharded(params: MFParams, splan: ShardedPlan, mesh: Mesh):
-    """Fused-layout tables padded to P*chunk rows and device_put sharded."""
+    """Fused-layout (homogeneous rows, pallas_sgd.fuse_rows) tables padded
+    to P*chunk rows and device_put sharded."""
+    from tpu_mf.ops.pallas_sgd import fuse_rows
+
     n_dev = mesh.devices.size
-    dim = params.theta.shape[1]
-    lanes = row_lanes(dim)
-
-    def fuse(fac, bias, rows):
-        ext = jnp.concatenate([fac, bias[:, None]], axis=1)
-        return jnp.pad(
-            ext, ((0, rows - ext.shape[0]), (0, lanes - ext.shape[1]))
-        ).astype(jnp.float32)
-
+    lanes = row_lanes(params.theta.shape[1])
     shard = row_sharding(mesh)
     theta_ext = jax.device_put(
-        fuse(params.theta, params.bu, n_dev * splan.chunk_u), shard
+        fuse_rows(params.theta, params.bu, n_dev * splan.chunk_u, lanes, "u"),
+        shard,
     )
     phi_ext = jax.device_put(
-        fuse(params.phi, params.bv, n_dev * splan.chunk_v), shard
+        fuse_rows(params.phi, params.bv, n_dev * splan.chunk_v, lanes, "v"),
+        shard,
     )
     return theta_ext, phi_ext
 
@@ -147,7 +144,7 @@ def unpack_sharded(theta_ext, phi_ext, nu, nv, dim, gb) -> MFParams:
         theta=jnp.asarray(theta_ext[:nu, :dim]),
         phi=jnp.asarray(phi_ext[:nv, :dim]),
         bu=jnp.asarray(theta_ext[:nu, dim]),
-        bv=jnp.asarray(phi_ext[:nv, dim]),
+        bv=jnp.asarray(phi_ext[:nv, dim + 1]),  # phi rows: [fac | 1 | bias]
         gb=jnp.asarray(gb, jnp.float32),
     )
 

@@ -42,7 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--size", type=int, default=1000,
                    help="users per protobuf block (reference default 1000)")
     p.add_argument("--split", type=float, default=0.0,
-                   help="held-out fraction; writes <out>.train/.test when > 0")
+                   help="fraction < 1: held-out split, writes "
+                        "<out>.train/.test; integer N >= 2: the reference "
+                        "getdata's N-way mode (getdata.cc:128-173) — shard "
+                        "the shuffled ratings into N user-grouped files "
+                        "<out>.part0..N-1")
     p.add_argument("--valid", type=float, default=0.0,
                    help="validation fraction (from the train part)")
     p.add_argument("--seed", type=int, default=0)
@@ -96,6 +100,21 @@ def main(argv=None) -> int:
         # Reference shuffles the raw ratings (4x random_shuffle,
         # getdata.cc:31-34); one Fisher-Yates pass is equivalent.
         ds = ds.shuffled(args.seed)
+
+    if args.split >= 2.0 and args.split == int(args.split):
+        # Reference getdata --split N: shard the shuffled ratings into N
+        # chunks by position and write each user-grouped (getdata.cc:37-80:
+        # read_raw shuffles, userwise groups each chunk by user).
+        import numpy as np
+
+        from tpu_mf.data.coo import RatingsCOO
+
+        parts = np.array_split(np.arange(len(ds)), int(args.split))
+        for i, idx in enumerate(parts):
+            part = RatingsCOO(ds.u[idx], ds.v[idx], ds.r[idx], ds.nu, ds.nv)
+            _write(f"{args.write}.part{i}", part, args.method, args.size)
+            print(f"wrote {args.write}.part{i} ({len(part)} ratings)")
+        return 0
 
     if args.split > 0.0:
         train, test = ds.split(args.split, seed=args.seed + 1)

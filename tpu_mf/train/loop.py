@@ -227,8 +227,12 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
             n_plans=n_plans, dim=cfg.dim,
         )
     else:
+        # 256-lane rows (dim >= 126) want smaller tiles: measured at dim=128,
+        # tile 256 = 174M/s vs tile 512 = 127M/s (the matmul/one-hot width
+        # doubles with the lane count, so the tile sweet spot halves).
+        tile = 256 if cfg.dim >= 126 else 512
         runner = PallasEpochRunner(
-            train_ds, tile_u=512, tile_v=512,
+            train_ds, tile_u=tile, tile_v=tile,
             batch=max(1024, cfg.batch_size), seed=cfg.seed,
             n_plans=n_plans,
         )
@@ -285,11 +289,28 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log, obs=None, start=0) ->
     t0 = time.perf_counter()
     if cfg.use_pallas and on_tpu:
         from tpu_mf.parallel.dsgd_pallas import ShardedPallasRunner
-
-        runner = ShardedPallasRunner(
-            train_ds, mesh, tile_u=512, tile_v=512,
-            batch=max(1024, cfg.batch_size), seed=cfg.seed,
+        from tpu_mf.parallel.dsgd_slot import (
+            ShardedSlotRunner,
+            sharded_slot_eligible,
         )
+
+        runner = None
+        if sharded_slot_eligible(params, cfg.mesh):
+            # Mirror the single-chip selection: the slot-major kernel when
+            # its staleness envelope holds at eta0 (the mesh path has no
+            # mid-run kernel hand-over yet, so the whole run must clear it).
+            runner = ShardedSlotRunner(
+                train_ds, mesh, dim=cfg.dim, seed=cfg.seed,
+            )
+            if not runner.envelope_ok(cfg.eta):
+                log("# sharded slot kernel envelope exceeded at eta0; "
+                    "using the gen-1 blocked kernel on the mesh")
+                runner = None
+        if runner is None:
+            runner = ShardedPallasRunner(
+                train_ds, mesh, tile_u=512, tile_v=512,
+                batch=max(1024, cfg.batch_size), seed=cfg.seed,
+            )
         tables = runner.pad(params)
         for it in range(start + 1, cfg.iters + 1):
             tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam)
@@ -392,12 +413,32 @@ def train_mf_stream(
     try:
         with obs.trace():
             t0 = time.perf_counter()
-            if use_fused:
+            trainer = None
+            kernel_name = "pallas-stream"
+            if cfg.mesh > 1:
+                # Out-of-core AND multi-chip: diagonal-block DSGD whose
+                # per-substep plans stream from disk (io/stream_sharded.py).
+                from tpu_mf.io.stream_sharded import ShardedStreamTrainer
+                from tpu_mf.parallel.mesh import make_mesh
+
+                on_cpu = jax.default_backend() == "cpu"
+                tile = 64 if on_cpu else 512
+                trainer = ShardedStreamTrainer(
+                    path, make_mesh(cfg.mesh), tile_u=tile, tile_v=tile,
+                    batch=(min(cfg.batch_size, 512) if on_cpu
+                           else max(1024, cfg.batch_size)),
+                    seed=cfg.seed,
+                    mxu="float32" if on_cpu else "bfloat16",
+                    interpret=on_cpu,
+                )
+                kernel_name = "pallas-stream-sharded"
+            elif use_fused:
                 from tpu_mf.io.stream_fused import FusedStreamTrainer
 
                 trainer = FusedStreamTrainer(
                     path, batch=max(1024, cfg.batch_size), seed=cfg.seed
                 )
+            if trainer is not None:
                 obs.n_train = trainer.n
                 tables = trainer.pad(params)
                 gb = float(params.gb)
@@ -416,7 +457,7 @@ def train_mf_stream(
                             log(f"iter#{it}\t{elapsed:f}")
                         obs.epoch_done(
                             it, params_fn=lambda: trainer.trim(tables),
-                            alg="mf", kernel="pallas-stream",
+                            alg="mf", kernel=kernel_name,
                             eta=cfg.eta_at(it), elapsed=elapsed, tRMSE=t_rmse,
                         )
                     return trainer.trim(tables)
@@ -454,6 +495,7 @@ def train_dpmf_stream(
     test_ds: Optional[RatingsCOO] = None,
     log: Callable[[str], None] = print,
     save_fn=None,
+    hyper0=None,
 ) -> DPMFState:
     """Out-of-core DP-SGLD training from an on-disk stream.
 
@@ -483,6 +525,17 @@ def train_dpmf_stream(
         gcountv=jnp.zeros(nv + 1, jnp.int32),
         gcount=jnp.int32(0),
     )
+    if hyper0 is not None:
+        # Hyper-only warm start (reference: read_hyper, model.cc:153-167)
+        # composed with streaming: load-before-stream, main.cc:57.
+        lr, lub, lvb, lu, lv = hyper0
+        state = state._replace(
+            lambda_r=jnp.float32(lr),
+            lambda_ub=jnp.float32(lub),
+            lambda_vb=jnp.float32(lvb),
+            lambda_u=jnp.asarray(lu),
+            lambda_v=jnp.asarray(lv),
+        )
     bound = dp_bound(cfg.epsilon, cfg.tau, nv)
     base_key = jax.random.PRNGKey(cfg.seed ^ 0xD1FF)
 
@@ -724,10 +777,23 @@ def train_dpmf(
                 seed=cfg.seed,
                 interpret=on_cpu, mxu="float32" if on_cpu else "bfloat16",
             )
+    slot_is_active = False
     if sgld_runner is None and cfg.use_pallas and jax.default_backend() != "cpu":
         from tpu_mf.ops.pallas_sgld import PallasSgldRunner, sgld_pallas_eligible
+        from tpu_mf.ops.pallas_sgld_slot import SlotSgldRunner, sgld_slot_eligible
 
-        if sgld_pallas_eligible(state, ntrain):
+        if sgld_slot_eligible(state, ntrain):
+            # Small rank: the slot-major SGLD kernel (batch-granular noise/
+            # decay riding the deferred apply). Its staleness window is the
+            # whole batch, gated per round on scal = eta*ntrain*bound*
+            # lambda_r (which GROWS via Gibbs) — the loop below falls back
+            # to the gen-1 kernel the round the envelope breaks.
+            sgld_runner = SlotSgldRunner(
+                train_ds, seed=cfg.seed, dim=cfg.dim,
+                n_plans=2 if cfg.iters > 1 else 1,
+            )
+            slot_is_active = True
+        elif sgld_pallas_eligible(state, ntrain):
             # B=8192 measured 82M/s vs 72M at 4096 / 26M at 1024 (ML-10M
             # rank 64); SGLD steps are tiny (eta*ntrain*lambda_r < 0.1), so
             # the wider within-batch staleness window provably doesn't move
@@ -767,6 +833,20 @@ def train_dpmf(
             eta_r = cfg.eta_at_cutoff(rnd)
             if sgld_runner is not None:
                 scal = eta_r * ntrain * bound * float(state.lambda_r)
+                if slot_is_active and not sgld_runner.envelope_ok(scal):
+                    # Gibbs grew lambda_r past the slot kernel's batch-
+                    # granular staleness envelope: hand over to the gen-1
+                    # fused kernel (sub-batch windows) for the rest.
+                    from tpu_mf.ops.pallas_sgld import PallasSgldRunner
+
+                    log(f"# round {rnd}: scal={scal:.3g} exceeds the slot "
+                        "SGLD envelope; switching to the gen-1 fused kernel")
+                    sgld_runner = PallasSgldRunner(
+                        train_ds, tile_u=512, tile_v=512,
+                        batch=max(8192, cfg.batch_size), seed=cfg.seed,
+                        n_plans=2 if cfg.iters > 1 else 1,
+                    )
+                    slot_is_active = False
                 sgld_runner.set_lambdas(state)
                 tables = sgld_runner.pad(state)
                 tables = sgld_runner.epoch(
@@ -893,8 +973,27 @@ def _train_admf_impl(
     nu, nv = train_ds.nu, train_ds.nv
     admf_extras = _admf_extras
     if cfg.mesh > 1:
+        from tpu_mf.ops.pallas_sgd import MAX_DIM, row_lanes
         from tpu_mf.parallel.adreg_sharded import ShardedAdRegRunner
         from tpu_mf.parallel.mesh import make_mesh
+
+        # Eligibility guard (absent in round 2: --mesh --alg admf --dim 128
+        # hit an unguarded kernel build). The sharded kernel keeps only the
+        # PER-DEVICE phi chunk resident, so the check is against the chunk.
+        dim = state.params.theta.shape[1]
+        if dim > MAX_DIM:
+            log(f"# --mesh admf requires dim <= {MAX_DIM} (got {dim}); "
+                "falling back to the single-chip XLA path")
+        else:
+            nv_chunk = -(-nv // cfg.mesh)
+            vmem_phi = -(-nv_chunk // 512) * 512 * row_lanes(dim) * 4
+            if vmem_phi > 64 * 1024 * 1024:
+                log("# --mesh admf: per-device item chunk exceeds VMEM; "
+                    "falling back to the single-chip XLA path")
+                dim = None
+        if dim is None or dim > MAX_DIM:
+            return _train_admf_xla(cfg, train_ds, valid_ds, test_ds, state,
+                                   log, obs, start)
 
         mesh = make_mesh(cfg.mesh)
         on_cpu = jax.default_backend() == "cpu"
@@ -931,13 +1030,33 @@ def _train_admf_impl(
 
     if cfg.use_pallas and jax.default_backend() != "cpu":
         from tpu_mf.ops.pallas_adreg import PallasAdRegRunner, adreg_pallas_eligible
+        from tpu_mf.ops.pallas_adreg_slot import SlotAdRegRunner, adreg_slot_eligible
+        from tpu_mf.ops.pallas_sgd_slot import slot_dup_lower_bound
 
-        if adreg_pallas_eligible(state, cfg.batch_size):
+        runner = None
+        if adreg_slot_eligible(state, cfg.batch_size):
+            # Small rank: slot-major AdaptReg (measured gen-1 fused kernel
+            # sits at ~29M/s). Same staleness envelope policy as MF's slot
+            # kernel: cheap pigeonhole pre-gate, exact per-plan stats after.
+            lb, _ = slot_dup_lower_bound(train_ds, dim=cfg.dim)
+            if cfg.eta_at(1) * lb <= 0.2:
+                runner = SlotAdRegRunner(
+                    train_ds, valid_ds, seed=cfg.seed, loss=cfg.loss,
+                    n_plans=2 if cfg.iters > 1 else 1, dim=cfg.dim,
+                )
+                if cfg.eta_at(1) * runner._dup_max[8] > 0.2 or (
+                    cfg.eta_at(1) * runner._vdup_max[8] > 0.2
+                ):
+                    log("# slot AdaptReg envelope exceeded at eta0; using "
+                        "the gen-1 fused kernel")
+                    runner = None
+        if runner is None and adreg_pallas_eligible(state, cfg.batch_size):
             runner = PallasAdRegRunner(
                 train_ds, valid_ds, tile_u=512, tile_v=512,
                 batch=max(1024, cfg.batch_size), seed=cfg.seed, loss=cfg.loss,
                 n_plans=2 if cfg.iters > 1 else 1,
             )
+        if runner is not None:
             tables = runner.pad(state)
             t0 = time.perf_counter()
             for it in range(start + 1, cfg.iters + 1):
@@ -963,6 +1082,14 @@ def _train_admf_impl(
                 )
             return runner.state(tables, state)
 
+    return _train_admf_xla(
+        cfg, train_ds, valid_ds, test_ds, state, log, obs, start
+    )
+
+
+def _train_admf_xla(
+    cfg, train_ds, valid_ds, test_ds, state, log, obs, start
+) -> AdaptRegState:
     valid = (
         jnp.asarray(valid_ds.u),
         jnp.asarray(valid_ds.v),
@@ -994,7 +1121,7 @@ def _train_admf_impl(
         obs.epoch_done(
             it,
             params_fn=lambda: state.params,
-            extras_fn=lambda: admf_extras(state),
+            extras_fn=lambda: _admf_extras(state),
             alg="admf", eta=cfg.eta_at(it), elapsed=elapsed, tRMSE=t_rmse,
         )
     return state
