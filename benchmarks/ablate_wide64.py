@@ -13,7 +13,9 @@ grid) at ~30%. This experiment attacks both:
 * Optional MXU pred (ones-matmul instead of the VPU lane reduction):
   variant "widemxu".
 
-Usage: ablate_wide64.py [wide|widemxu] [TILE] [BATCH] [N]
+Usage: ablate_wide64.py [wide|widemxu] [TILE] [BATCH] [N] [G]
+G < 16 widens the stream minor to 8G lanes only (partially strided DMA but
+a much shorter unroll; G=16 is fully dense and compiles very slowly).
 """
 import functools
 import sys
@@ -41,8 +43,8 @@ VARIANT = sys.argv[1] if len(sys.argv) > 1 else "wide"
 TILE = int(sys.argv[2]) if len(sys.argv) > 2 else 384
 BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
 N = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000_000
+G = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 DIM = 64
-G = 16  # batches per grid step; 16 * 8 lanes = one dense 128-lane block
 
 
 def kernel(gu_ref, gv_ref, hyper_ref,

@@ -120,7 +120,7 @@ def test_slot_sgld_counters_roundtrip():
     )
     np.testing.assert_allclose(
         np.asarray(back.ur), np.asarray(state.ur), atol=0
-    ) if hasattr(back, "ur") else None
+    )
 
 
 def test_slot_sgld_converges_with_gibbs():

@@ -283,6 +283,78 @@ def _gather_slot_rows(tab, ids, tile: int, pack: int):
     return t3[phys, slot]
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=(
+        "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
+        "interpret", "theta_groups", "phi_groups", "loss",
+    ),
+)
+def _run_slot_adreg_segment(
+    theta_s, phi_s, gu, gv, ap, hyper, lamvec, uv, uvt, r,
+    *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
+    interpret=False, theta_groups=8, phi_groups=8, loss=0,
+):
+    nb = uv.shape[0]
+    gv = gv.reshape(-1)
+    ap = ap.reshape(-1)
+    kernel = functools.partial(
+        _slot_adreg_kernel,
+        tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
+        mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
+        phi_groups=phi_groups, loss=loss,
+    )
+    lanes8 = 8 * pack
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,  # gu, gv, ap, hyper
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((1, sub, lanes8), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, lanes8, sub), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((1, sub, lanes8), lambda i, *_: (i, 0, 0)),
+            pl.BlockSpec((tile_u, LANES), lambda i, gu, *_: (gu[i], 0)),
+            pl.BlockSpec((2, LANES), lambda i, *_: (0, 0)),   # lamvec
+            pl.BlockSpec(memory_space=pl.ANY),                # phi (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_u, LANES), lambda i, gu, *_: (gu[i], 0)),
+            pl.BlockSpec((n_gv * tile_v, LANES), lambda i, *_: (0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n_gv * tile_v, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    theta_s, phi_s = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gu * tile_u, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((n_gv * tile_v, LANES), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        # operands incl. 4 scalar-prefetch args: uv=4..., theta=7, phi=9
+        input_output_aliases={7: 0, 9: 1},
+        interpret=interpret,
+    )(gu, gv, ap, hyper, uv, uvt, r, theta_s, lamvec, phi_s)
+    return theta_s, phi_s
+
+
+def _gather_slot_rows(tab, ids, tile: int, pack: int):
+    """(K, m) fused slot rows for global ids from a slot-major table (XLA
+    side — dynamic gathers are fine outside Mosaic)."""
+    P = pack
+    m = LANES // P
+    rows = tile // P
+    phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
+    slot = ids % P
+    t3 = tab.reshape(-1, P, m)
+    return t3[phys, slot]
+
+
 @functools.partial(jax.jit, static_argnames=("dim", "tile_u", "tile_v",
                                              "pack", "loss"))
 def _slot_hypergrad(
@@ -311,6 +383,63 @@ def _slot_hypergrad(
     return jnp.maximum(0.0, lams - scale * steps)
 
 
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=(
+        "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
+        "interpret", "theta_groups", "phi_groups", "loss", "n_samples",
+    ),
+)
+def _run_slot_adreg_seg_step(
+    theta_s, phi_s, lams, key, seg_idx, uvv, vvv, rvv,
+    gu, gv, ap, uv, uvt, r, hyper, eta, eta_reg, visits_all,
+    *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
+    interpret=False, theta_groups=8, phi_groups=8, loss=0, n_samples=64,
+):
+    """One segment FUSED into a single dispatch: validation sampling, old-row
+    snapshot gathers, the pallas segment, and the lambda hypergradient
+    (round-2 lesson: eager per-segment orchestration costs ~12 tunnel round
+    trips; the round-3 slot runner initially repeated the mistake with eager
+    slot-row gathers and measured 14M/s vs the kernel's hundreds)."""
+    visits = visits_all[seg_idx]
+    kseg = jax.random.fold_in(key, seg_idx)
+    ksel = jax.random.randint(kseg, (n_samples,), 0, uvv.shape[0])
+    su, sv, sr = uvv[ksel], vvv[ksel], rvv[ksel]
+    old_t = _gather_slot_rows(theta_s, su, tile_u, pack)
+    old_p = _gather_slot_rows(phi_s, sv, tile_v, pack)
+    m = LANES // pack
+    lu = jnp.zeros((m,), jnp.float32)
+    lu = lu.at[:dim].set(lams[0]).at[dim].set(lams[2])
+    lv = jnp.zeros((m,), jnp.float32)
+    lv = lv.at[:dim].set(lams[1]).at[dim + 1].set(lams[3])
+    lamvec = jnp.stack([jnp.tile(lu, pack), jnp.tile(lv, pack)])
+    theta_s, phi_s = _run_slot_adreg_segment(
+        theta_s, phi_s, gu, gv, ap, hyper, lamvec, uv, uvt, r,
+        tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
+        n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
+        theta_groups=theta_groups, phi_groups=phi_groups, loss=loss,
+    )
+    new_t = _gather_slot_rows(theta_s, su, tile_u, pack)
+    new_p = _gather_slot_rows(phi_s, sv, tile_v, pack)
+    tf, tb = new_t[:, :dim], new_t[:, dim]
+    pf, pb = new_p[:, :dim], new_p[:, dim + 1]
+    score = jnp.sum(tf * pf, axis=1) + tb + pb + hyper[1]
+    pred = jax.nn.sigmoid(score) if loss == 1 else score
+    grad = sr - pred
+    inner_u = jnp.sum(old_t[:, :dim] * pf, axis=1)
+    inner_v = jnp.sum(tf * old_p[:, :dim], axis=1)
+    scale = (eta_reg * eta) * visits / sr.shape[0]
+    steps = jnp.stack([
+        jnp.sum(grad * inner_u),
+        jnp.sum(grad * inner_v),
+        jnp.sum(grad * old_t[:, dim]),
+        jnp.sum(grad * old_p[:, dim + 1]),
+    ])
+    lams = jnp.maximum(0.0, lams - scale * steps)
+    return theta_s, phi_s, lams
+
+
 class SlotAdRegRunner:
     """Slot-major fused AdaptReg epochs: S segments with fused lambda
     hypergradient steps between them. Interface-compatible with
@@ -321,7 +450,7 @@ class SlotAdRegRunner:
         train_ds: RatingsCOO,
         valid_ds: RatingsCOO,
         sub: int | None = None,
-        segments: int = 8,
+        segments: int = 4,
         seed: int = 0,
         mxu: str = "bfloat16",
         interpret: bool = False,
@@ -431,17 +560,6 @@ class SlotAdRegRunner:
         ).astype(jnp.float32)
         return pack_params_slot(state.params, self.plan)
 
-    def _lamvec(self) -> jax.Array:
-        """Slot-replicated per-lane decay rates (one/cnt lanes stay 0)."""
-        P = self.pack
-        m = LANES // P
-        lu = jnp.zeros((m,), jnp.float32)
-        lu = lu.at[: self.dim].set(self.lams[0]).at[self.dim].set(self.lams[2])
-        lv = jnp.zeros((m,), jnp.float32)
-        lv = lv.at[: self.dim].set(self.lams[1]).at[self.dim + 1].set(
-            self.lams[3])
-        return jnp.stack([jnp.tile(lu, P), jnp.tile(lv, P)])
-
     def epoch(self, tables, eta: float, eta_reg: float, key: jax.Array,
               epoch_idx: int = 0):
         hyper = jnp.asarray([eta, self.gb], jnp.float32)
@@ -451,31 +569,23 @@ class SlotAdRegRunner:
         pg = self._pick(self._vdup_max, self.phi_groups, eta)
         eta_d = jnp.float32(eta)
         eta_reg_d = jnp.float32(eta_reg)
+        visits_d = jnp.asarray(b["visits_per_seg"])
+        seg_ids = np.arange(b["segments"], dtype=np.int32)
         for s in range(b["segments"]):
-            ks = jax.random.fold_in(key, s)
-            sel = jax.random.randint(
-                ks, (self.n_reg_samples,), 0, uv_.shape[0]
-            )
-            su, sv, sr = uv_[sel], vv_[sel], rv_[sel]
-            old_t = _gather_slot_rows(tables[0], su, self.tile_u, self.pack)
-            old_p = _gather_slot_rows(tables[1], sv, self.tile_v, self.pack)
-            tables = _run_slot_adreg_segment(
-                tables[0], tables[1],
+            t0, t1, self.lams = _run_slot_adreg_seg_step(
+                tables[0], tables[1], self.lams, key, seg_ids[s],
+                uv_, vv_, rv_,
                 b["gu"][s], b["gv"][s], b["flags"][pg][s],
-                hyper, self._lamvec(), b["uv"][s], b["uvt"][s], b["r"][s],
+                b["uv"][s], b["uvt"][s], b["r"][s],
+                hyper, eta_d, eta_reg_d, visits_d,
                 tile_u=self.tile_u, tile_v=self.tile_v, sub=self.sub,
                 dim=self.dim, pack=self.pack,
                 n_gu=b["n_gu"], n_gv=b["n_gv"],
                 mxu=self.mxu, interpret=self.interpret,
                 theta_groups=tg, phi_groups=pg, loss=self.loss,
+                n_samples=self.n_reg_samples,
             )
-            self.lams = _slot_hypergrad(
-                tables[0], tables[1], old_t, old_p, su, sv, sr, self.lams,
-                eta_d, eta_reg_d,
-                jnp.float32(b["visits_per_seg"][s]), jnp.float32(self.gb),
-                dim=self.dim, tile_u=self.tile_u, tile_v=self.tile_v,
-                pack=self.pack, loss=self.loss,
-            )
+            tables = (t0, t1)
         return tables
 
     def trim(self, tables) -> MFParams:

@@ -264,13 +264,13 @@ def _epoch_kernel(
 
     # Lane roles for the homogeneous rows (module docstring): theta =
     # [fac | bu | 1 | cnt], phi = [fac | 1 | bv | cnt]. The mid-chain uses
-    # NO masks; these only shape the per-tile apply.
+    # NO masks; these only shape the per-tile apply. The decay exponent is
+    # PER-LANE (zero on the one/cnt lanes) so the homogeneous 1 survives
+    # exp() on its own — the apply stays at the pre-homog 3 ops.
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     m_cnt = (lane == dim + 2).astype(jnp.float32)   # count scratch lane
     m_keep_u = (lane <= dim).astype(jnp.float32)    # fac + bu persist
-    m_one_u = (lane == dim + 1).astype(jnp.float32)
     m_keep_v = ((lane < dim) | (lane == dim + 1)).astype(jnp.float32)
-    m_one_v = (lane == dim).astype(jnp.float32)
 
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_u), 1)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, tile_v), 1)
@@ -278,6 +278,8 @@ def _epoch_kernel(
     iota_vt = jax.lax.broadcasted_iota(jnp.int32, (tile_v, sub), 0)
     lameta = 1.0 - eta * lam
     ln_lameta = jnp.log(lameta)  # lameta > 0 for any sane config
+    lnv_u = ln_lameta * m_keep_u  # per-lane: one/cnt lanes don't decay
+    lnv_v = ln_lameta * m_keep_v
 
     # BOTH sides apply in adaptive groups, each gated by the plan's measured
     # within-window duplicate statistics and eta (staleness of k accumulated
@@ -351,8 +353,8 @@ def _epoch_kernel(
             # clear the count scratch + scatter garbage.
             k_v = jnp.sum(d_phi * m_cnt, axis=1, keepdims=True)
             phi_out[pl.ds(off, tile_v), :] = (
-                phi * jnp.exp(k_v * ln_lameta) + d_phi
-            ) * m_keep_v + m_one_v
+                phi * jnp.exp(k_v * lnv_v) + d_phi * m_keep_v
+            )
         else:
             pending.append((k, off, phi, d_phi))
             if k % pg_w == pg_w - 1:
@@ -364,8 +366,8 @@ def _epoch_kernel(
                         a = acc[pl.ds(off_, tile_v), :]
                         k_v = jnp.sum(a * m_cnt, axis=1, keepdims=True)
                         phi_out[pl.ds(off_, tile_v), :] = (
-                            phi_ * jnp.exp(k_v * ln_lameta) + a
-                        ) * m_keep_v + m_one_v
+                            phi_ * jnp.exp(k_v * lnv_v) + a * m_keep_v
+                        )
                         acc[pl.ds(off_, tile_v), :] = jnp.zeros_like(a)
 
                 pending = []
@@ -373,9 +375,7 @@ def _epoch_kernel(
         if k % tg_w == tg_w - 1:
             # User tile: apply the group's accumulated deltas and decay.
             k_u = jnp.sum(d_theta_g * m_cnt, axis=1, keepdims=True)
-            theta = (
-                theta * jnp.exp(k_u * ln_lameta) + d_theta_g
-            ) * m_keep_u + m_one_u
+            theta = theta * jnp.exp(k_u * lnv_u) + d_theta_g * m_keep_u
 
     theta_out[:] = theta
 

@@ -148,10 +148,11 @@ def _mega_kernel(
     cnt_lane = dim + 2 if P == 1 else dim + 1
     m_cnt = (inslot == cnt_lane).astype(jnp.float32)
     if P == 1:
+        # Homogeneous rows: per-lane decay exponent (zero on the one/cnt
+        # lanes) so the 1 survives exp() on its own — same op count as the
+        # packed apply.
         m_keep_u = (lane <= dim).astype(jnp.float32)
-        m_one_u = (lane == dim + 1).astype(jnp.float32)
         m_keep_v = ((lane < dim) | (lane == dim + 1)).astype(jnp.float32)
-        m_one_v = (lane == dim).astype(jnp.float32)
     else:
         m_keep = m_fac + m_bias
     # Count-broadcast one-hot: (d @ CB)[:, l] == d[:, slot(l)*m + cnt_lane].
@@ -160,12 +161,12 @@ def _mega_kernel(
 
     def apply_u(tab, kc, d):
         if P == 1:
-            return (tab * jnp.exp(kc * ln_lameta) + d) * m_keep_u + m_one_u
+            return tab * jnp.exp(kc * (ln_lameta * m_keep_u)) + d * m_keep_u
         return tab * jnp.exp(kc * ln_lameta) + d * m_keep
 
     def apply_v(tab, kc, d):
         if P == 1:
-            return (tab * jnp.exp(kc * ln_lameta) + d) * m_keep_v + m_one_v
+            return tab * jnp.exp(kc * (ln_lameta * m_keep_v)) + d * m_keep_v
         return tab * jnp.exp(kc * ln_lameta) + d * m_keep
     iota_u = jax.lax.broadcasted_iota(jnp.int32, (sub, rows_u), 1)
     iota_v = jax.lax.broadcasted_iota(jnp.int32, (sub, rows_v), 1)

@@ -426,23 +426,23 @@ def _slot_kernel(
     iota_rut = jax.lax.broadcasted_iota(jnp.int32, (rows_u, sub), 0)
     iota_rvt = jax.lax.broadcasted_iota(jnp.int32, (rows_v, sub), 0)
     # Scatter-garbage eraser folded with the keep mask: physical row block
-    # j keeps only slot j's [factors | bias] lanes. The one-lane restores
-    # are ALSO own-slot masked — an unmasked constant would leave 1s in
-    # other slots' lanes, which the multi-hot gather (P ones per row) then
-    # SUMS into every gathered slot.
+    # j keeps only slot j's [factors | bias] lanes. The homogeneous one-lane
+    # needs NO restore op: the decay exponent is per-lane (lnv_*, zero on
+    # one/cnt lanes), so stored 1s ride through exp() untouched while the
+    # delta's garbage one-lane dies in MK_*.
     rseg_u = jax.lax.broadcasted_iota(jnp.int32, (tile_u, 1), 0) // rows_u
     mkd_u = (rseg_u == slot_lane).astype(jnp.float32)
     MK_u = mkd_u * (m_fac + m_bias_u)
-    M1_u = mkd_u * m_one_u
     MC_u = mkd_u * m_cnt
     rseg_v = jax.lax.broadcasted_iota(jnp.int32, (tile_v, 1), 0) // rows_v
     mkd_v = (rseg_v == slot_lane).astype(jnp.float32)
     MK_v = mkd_v * (m_fac + m_bias_v)
-    M1_v = mkd_v * m_one_v
     MS_v = mkd_v * (m_fac + m_bias_v + m_cnt)
 
     lameta = 1.0 - eta * lam
     ln_lameta = jnp.log(lameta)
+    lnv_u = ln_lameta * (m_fac + m_bias_u)  # per-lane decay exponents
+    lnv_v = ln_lameta * (m_fac + m_bias_v)
     tg_w = 8 // theta_groups
     pg_w = 8 // phi_groups
     theta_mx = None
@@ -552,8 +552,8 @@ def _slot_kernel(
                 d_phi * MS_v, CB, preferred_element_type=jnp.float32
             )
             phi_out[pl.ds(off, tile_v), :] = (
-                phi * jnp.exp(k_v * ln_lameta) + d_phi
-            ) * MK_v + M1_v
+                phi * jnp.exp(k_v * lnv_v) + d_phi * MK_v
+            )
         else:
             pending.append((k, off, phi, d_phi))
             if k % pg_w == pg_w - 1:
@@ -572,8 +572,8 @@ def _slot_kernel(
                             a, CB, preferred_element_type=jnp.float32
                         )
                         phi_out[pl.ds(off_, tile_v), :] = (
-                            phi_ * jnp.exp(k_v * ln_lameta) + a
-                        ) * MK_v + M1_v
+                            phi_ * jnp.exp(k_v * lnv_v) + a * MK_v
+                        )
                         acc[pl.ds(off_, tile_v), :] = jnp.zeros_like(a)
 
                 pending = []
@@ -582,9 +582,7 @@ def _slot_kernel(
             k_u = jnp.dot(
                 d_theta_g * MC_u, CB, preferred_element_type=jnp.float32
             )
-            theta = (
-                theta * jnp.exp(k_u * ln_lameta) + d_theta_g
-            ) * MK_u + M1_u
+            theta = theta * jnp.exp(k_u * lnv_u) + d_theta_g * MK_u
 
     theta_out[:] = theta
 

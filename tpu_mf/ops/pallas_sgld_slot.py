@@ -147,17 +147,14 @@ def _slot_sgld_kernel(
     MKD_v = (rseg_v == slot_lane).astype(jnp.float32)
     MC_u = MKD_u * (m_cnt + m_fac + m_bias_u)  # delta lanes that matter (u)
     MC_v = MKD_v * (m_cnt + m_fac + m_bias_v)
-    # One-lane restores MUST respect the slot-major discipline (data only in
-    # the row's own slot): an unmasked constant would leave 1s in other
-    # slots' lanes, which the multi-hot gather (P ones per row) would then
-    # SUM into every gathered slot.
-    m_one_ut = MKD_u * m_one_u
-    m_one_vt = MKD_v * m_one_v
+    # No one-lane restore op is needed: the per-lane decay base is 1 on the
+    # one/cnt/gc lanes (their lamvec entries are 0), so stored values ride
+    # through dec untouched and delta garbage dies in the m_kept mask.
 
     end_lo = cum_lo_ref[i].astype(jnp.float32)  # clock at batch START
     end_hi = cum_hi_ref[i].astype(jnp.float32)
 
-    def apply_tile(tab, a, lamv, m_bias_t, m_one_t, rows):
+    def apply_tile(tab, a, lamv, m_bias_t, rows):
         """Decay + noise + stamp + delta for one tile from accumulated a."""
         k_b = jnp.dot(a, CB, preferred_element_type=jnp.float32)  # counts
         inv_b = jnp.dot(tab * m_inv, IB, preferred_element_type=jnp.float32)
@@ -176,13 +173,7 @@ def _slot_sgld_kernel(
         m_kept = m_fac + m_bias_t
         noise = std * _normals((rows, LANES)) * m_kept
         stamp = touched * (dlo * m_gcl + dhi * m_gch)
-        return (
-            tab * dec * (m_kept + m_gc3)
-            + a * m_kept
-            + noise
-            + stamp
-            + m_one_t
-        )
+        return tab * dec + a * m_kept + noise + stamp
 
     theta_acc = jnp.zeros((tile_u, LANES), jnp.float32)
     for k in range(8):
@@ -251,12 +242,12 @@ def _slot_sgld_kernel(
         def _(off=off, phi=phi):
             a = acc[pl.ds(off, tile_v), :]
             phi_out[pl.ds(off, tile_v), :] = apply_tile(
-                phi, a, lam_v, m_bias_v, m_one_vt, tile_v
+                phi, a, lam_v, m_bias_v, tile_v
             )
             acc[pl.ds(off, tile_v), :] = jnp.zeros_like(a)
 
     theta_out[:] = apply_tile(
-        theta, theta_acc * MC_u, lam_u, m_bias_u, m_one_ut, tile_u
+        theta, theta_acc * MC_u, lam_u, m_bias_u, tile_u
     )
 
 
@@ -443,9 +434,14 @@ class SlotSgldRunner:
                 pick_sub,
             )
 
-            sub = pick_sub(
+            # SGLD's per-tile apply (noise PRNG + stamps + per-lane decay)
+            # is heavier than SGD's, so taller columns amortize better:
+            # measured ML-10M rank 8: sub 256 -> 192M/s, 384 -> 213, 512
+            # -> 183. Scale the SGD-tuned pick by 1.5 (rounded to 8).
+            base = pick_sub(
                 _slot_bucket_counts(train_ds, tile, tile, pack), pack
             )
+            sub = max(8, int(base * 1.5) // 8 * 8)
         self.sub = sub
         self.plans = [
             prepare_cells_slot(train_ds, tile, tile, sub, seed + 7919 * p,

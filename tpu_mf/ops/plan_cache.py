@@ -96,6 +96,8 @@ def cached_build(kind: str, cls, ds, seed: int, geom: tuple,
             **arrays,
         )
         os.replace(tmp, path)
-    except OSError:
-        pass  # cache write is best-effort
+    except OSError as e:  # cache write is best-effort, but say so
+        import warnings
+
+        warnings.warn(f"plan cache write failed ({path}): {e}")
     return plan
