@@ -12,7 +12,8 @@ from tpu_mf.ops.pallas_adreg_slot import SlotAdRegRunner, adreg_slot_eligible
 from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner
 
 
-def test_slot_adreg_sgd_part_matches_slot_sgd():
+@pytest.mark.parametrize("balance", [False, True])
+def test_slot_adreg_sgd_part_matches_slot_sgd(balance):
     """eta_reg=0 with all four lambdas equal reduces AdaptReg to plain SGD:
     the slot AdaptReg epoch must equal the slot SGD kernel on the SAME plan
     (same seed/geometry -> identical shuffles and batches)."""
@@ -24,7 +25,7 @@ def test_slot_adreg_sgd_part_matches_slot_sgd():
     a = SlotAdRegRunner(
         ds, valid, sub=16, segments=3, seed=2, mxu="float32",
         interpret=True, dim=dim, tile=64,
-        theta_groups=8, phi_groups=8,
+        theta_groups=8, phi_groups=8, balance=balance,
     )
     ta = a.pad(state)
     ta = a.epoch(ta, eta, 0.0, jax.random.PRNGKey(5))
@@ -33,6 +34,7 @@ def test_slot_adreg_sgd_part_matches_slot_sgd():
     s = SlotEpochRunner(
         ds, tile_u=64, tile_v=64, sub=16, seed=2, mxu="float32",
         interpret=True, dim=dim, theta_groups=8, phi_groups=8,
+        balance=balance,
     )
     params = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, dim, gb=3.0)
     params = params._replace(

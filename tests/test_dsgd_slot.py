@@ -48,10 +48,13 @@ def test_sharded_slot_p1_matches_single_runner():
     )
 
 
-def test_sharded_slot_4dev_tracks_single_chip():
+@pytest.mark.parametrize("balance", [False, True])
+def test_sharded_slot_4dev_tracks_single_chip(balance):
     """4-device sharded slot epochs land at the same quality as the
     single-chip slot runner on the same geometry (the diagonal schedule
-    reorders updates but must not change the trajectory materially)."""
+    reorders updates but must not change the trajectory materially).
+    balance=True additionally routes the LPT relabeling through the
+    sharded pack/trim."""
     assert len(jax.devices()) >= 4
     ds = synthetic_ratings(500, 300, 20000, rank=3, noise=0.1, seed=4)
     train, test = ds.split(0.2, seed=5)
@@ -61,7 +64,7 @@ def test_sharded_slot_4dev_tracks_single_chip():
     )
     runner = ShardedSlotRunner(
         train, mesh, dim=8, sub=16, seed=7, mxu="float32", interpret=True,
-        tile=32,
+        tile=32, balance=balance,
     )
     tables = runner.pad(params)
     for it in range(1, 4):

@@ -123,6 +123,40 @@ def test_slot_sgld_counters_roundtrip():
     )
 
 
+def test_slot_sgld_balance_roundtrip():
+    """LPT-balanced relabeling: pad/unpack must invert the id maps for
+    factors, biases, AND the split-lane noise counters."""
+    ds = synthetic_ratings(200, 150, 2500, rank=3, seed=2, zipf=1.2)
+    state = init_dpmf(jax.random.PRNGKey(1), ds, 8)
+    rng = np.random.default_rng(0)
+    state = state._replace(
+        gcountu=jnp.asarray(rng.integers(0, 9999, ds.nu), jnp.int32),
+        gcountv=jnp.asarray(rng.integers(0, 9999, ds.nv), jnp.int32),
+    )
+    runner = SlotSgldRunner(
+        ds, sub=16, seed=3, mxu="float32", interpret=True, dim=8, tile=64,
+        balance=True,
+    )
+    assert runner._map_u is not None
+    tables = runner.pad(state)
+    back = runner.unpack(state, tables)
+    np.testing.assert_array_equal(
+        np.asarray(back.gcountu[: ds.nu]), np.asarray(state.gcountu[: ds.nu])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(back.gcountv[: ds.nv]), np.asarray(state.gcountv[: ds.nv])
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.params.theta), np.asarray(state.params.theta), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.params.phi), np.asarray(state.params.phi), atol=0
+    )
+    np.testing.assert_allclose(
+        np.asarray(back.params.bu), np.asarray(state.params.bu), atol=0
+    )
+
+
 def test_slot_sgld_converges_with_gibbs():
     ds = synthetic_ratings(400, 250, 20000, rank=3, noise=0.1, seed=4)
     train, test = ds.split(0.2, seed=5)

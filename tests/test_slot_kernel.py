@@ -70,8 +70,11 @@ def test_slot_pack_roundtrip():
         assert not other.any(), f"segment {j} leaks into other slots"
 
 
-@pytest.mark.parametrize("pack,scatter_dg", [(2, False), (8, False), (8, True)])
-def test_slot_matches_xla_on_unique_rows(pack, scatter_dg):
+@pytest.mark.parametrize(
+    "pack,scatter_dg,balance",
+    [(2, False, False), (8, False, False), (8, True, False), (8, False, True)],
+)
+def test_slot_matches_xla_on_unique_rows(pack, scatter_dg, balance):
     """One rating per user and per item => no conflicts, no decay coupling:
     the slot kernel must match the XLA batched kernel exactly (fp32)."""
     n = 256
@@ -89,7 +92,7 @@ def test_slot_matches_xla_on_unique_rows(pack, scatter_dg):
     runner = SlotEpochRunner(
         ds, tile_u=16 * pack, tile_v=16 * pack, sub=8, seed=2,
         mxu="float32", interpret=True, theta_groups=8, phi_groups=8,
-        dim=dim, scatter_dg=scatter_dg,
+        dim=dim, scatter_dg=scatter_dg, balance=balance,
     )
     tables = runner.pad(params)
     tables = runner.epoch(tables, eta, lam, float(params.gb))
@@ -124,6 +127,42 @@ def test_slot_converges_with_duplicates():
     after = float(rmse(runner.trim(t), ds))
     # the packed kernel reaches 0.5223 from 0.5569 on this config — the
     # slot kernel matches it to 5e-5; gate on the same progress.
+    assert after < before - 0.03, (before, after)
+
+
+def test_slot_balance_roundtrip_fill_and_convergence():
+    """LPT-balanced relabeling: pad/trim must invert the id maps exactly,
+    the balanced plan must fill at least as well as the natural hash on
+    zipfy data, and training must still converge."""
+    from tpu_mf.ops.pallas_sgd_slot import balance_dataset
+
+    ds = synthetic_ratings(400, 250, 12000, rank=3, seed=3, zipf=1.2)
+    dim = 8
+    params = init_mf(jax.random.PRNGKey(2), ds.nu, ds.nv, dim,
+                     gb=ds.mean_rating())
+    kw = dict(tile_u=64, tile_v=64, sub=16, seed=4, mxu="float32",
+              interpret=True, dim=dim)
+    runner = SlotEpochRunner(ds, balance=True, **kw)
+    t = runner.pad(params)
+    back = runner.trim(t, dim=dim)
+    np.testing.assert_allclose(back.theta, params.theta, atol=0)
+    np.testing.assert_allclose(back.phi, params.phi, atol=0)
+    np.testing.assert_allclose(back.bu, params.bu, atol=0)
+    np.testing.assert_allclose(back.bv, params.bv, atol=0)
+
+    # relabeling is a bijection into the padded id space
+    ds_bal, mu, mv = balance_dataset(ds, 64, 64, runner.pack)
+    assert np.unique(mu).size == ds.nu and mu.max() < ds_bal.nu
+    assert np.unique(mv).size == ds.nv and mv.max() < ds_bal.nv
+
+    nat = SlotEpochRunner(ds, balance=False, **kw)
+    fill = lambda r: r.plan.n_real / r.plan.u.size
+    assert fill(runner) >= fill(nat), (fill(runner), fill(nat))
+
+    before = float(rmse(params, ds))
+    for it in range(3):
+        t = runner.epoch(t, 0.04, 0.01, float(params.gb), epoch_idx=it)
+    after = float(rmse(runner.trim(t), ds))
     assert after < before - 0.03, (before, after)
 
 
@@ -184,7 +223,9 @@ def test_pick_mf_runners_switch_schedule():
 
     ds = synthetic_ratings(400, 250, 30000, rank=3, seed=8, zipf=1.2)
     params = init_mf(jax.random.PRNGKey(4), ds.nu, ds.nv, 8, gb=3.0)
-    runner8 = SlotEpochRunner(ds, seed=0, n_plans=2, dim=8)
+    # balance=True to mirror the production runner _pick_mf_runners builds
+    # (LPT relabeling shrinks the dup window, shifting the envelope).
+    runner8 = SlotEpochRunner(ds, seed=0, n_plans=2, dim=8, balance=True)
     dup = max(runner8._dup_max[8], runner8._vdup_max[8])
     assert dup > 1, "need duplicate-heavy data for this test"
     # eta0 fails the envelope; eta0/iters passes it.

@@ -22,6 +22,7 @@ exactly the same way).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Tuple
 
@@ -461,6 +462,7 @@ class SlotAdRegRunner:
         tile: int | None = None,
         theta_groups=None,
         phi_groups=None,
+        balance: bool = False,
     ):
         assert dim is not None, "pass dim="
         pack = slot_packing_factor(dim)
@@ -470,12 +472,26 @@ class SlotAdRegRunner:
         self.pack = pack
         tile = tile or 128 * pack
         self.tile_u = self.tile_v = tile
+        self.nu, self.nv = train_ds.nu, train_ds.nv
+        self._map_u = self._map_v = None
+        if balance:
+            from tpu_mf.ops.pallas_sgd_slot import balance_dataset
+
+            # LPT slot relabeling (pallas_sgd_slot._balance_map): validation
+            # ids must ride the same maps — the fused hypergradient step
+            # gathers validation rows from the RELABELED tables.
+            train_ds, self._map_u, self._map_v = balance_dataset(
+                train_ds, tile, tile, pack
+            )
+            valid_ds = dataclasses.replace(
+                valid_ds, u=self._map_u[valid_ds.u], v=self._map_v[valid_ds.v],
+                nu=train_ds.nu, nv=train_ds.nv,
+            )
         if sub is None:
             sub = pick_sub(
                 _slot_bucket_counts(train_ds, tile, tile, pack), pack
             )
         self.sub = sub
-        self.nu, self.nv = train_ds.nu, train_ds.nv
         self.mxu, self.interpret, self.loss = mxu, interpret, loss
         self.n_reg_samples = n_reg_samples
         self.theta_groups, self.phi_groups = theta_groups, phi_groups
@@ -558,7 +574,9 @@ class SlotAdRegRunner:
         self.lams = jnp.stack(
             [state.lam_u, state.lam_v, state.lam_bu, state.lam_bv]
         ).astype(jnp.float32)
-        return pack_params_slot(state.params, self.plan)
+        return pack_params_slot(
+            state.params, self.plan, self._map_u, self._map_v
+        )
 
     def epoch(self, tables, eta: float, eta_reg: float, key: jax.Array,
               epoch_idx: int = 0):
@@ -592,6 +610,7 @@ class SlotAdRegRunner:
         return unpack_params_slot(
             tables[0], tables[1], self.nu, self.nv, self.dim, self.gb,
             self.tile_u, self.tile_v, self.pack,
+            self._map_u, self._map_v,
         )
 
     def state(self, tables, template: AdaptRegState) -> AdaptRegState:

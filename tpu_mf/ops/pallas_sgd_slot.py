@@ -213,6 +213,7 @@ def slot_dup_lower_bound(
     tile_u: int | None = None,
     tile_v: int | None = None,
     sub: int | None = None,
+    balance: bool = False,
 ) -> Tuple[int, int]:
     """(lower bound on max within-column duplicates at g=8, chosen sub).
 
@@ -230,6 +231,8 @@ def slot_dup_lower_bound(
     P = pack
     tile_u = tile_u or 128 * P
     tile_v = tile_v or 128 * P
+    if balance:
+        ds, _, _ = balance_dataset(ds, tile_u, tile_v, P)
     counts = _slot_bucket_counts(ds, tile_u, tile_v, P)
     if sub is None:
         sub = pick_sub(counts, P)
@@ -258,8 +261,7 @@ def slot_dup_lower_bound(
     return lb, sub
 
 
-_SUB_CANDIDATES = (32, 48, 64, 96, 112, 128, 160, 192, 224, 256, 320, 384,
-                   448, 512)
+_SUB_CANDIDATES = (32, 64, 128, 192, 256, 384, 512)
 
 GV_SMEM_LIMIT = 900_000  # bytes of scalar-prefetch metadata before the
                          # kernel switches gv/ap to the blocked VMEM stream
@@ -269,7 +271,14 @@ def pick_sub(counts: np.ndarray, pack: int) -> int:
     """Column height maximizing throughput: fill from the exact bucket
     sizes (cell columns quantize at its fullest slot) over a measured
     per-slot cost model a + b/sub (larger sub amortizes per-column fixed
-    work: tile applies, broadcasts, rolls)."""
+    work: tile applies, broadcasts, rolls).
+
+    Constants refit on the round-3 calibrated ML-10M balanced sweep
+    (pg=tg=1, tile 1024): per-slot cost at sub 128/192/256/384 measured
+    1.71/1.51/1.34/1.25 (arb units) == 1.0 + 94/sub to within 2%. The
+    off-grid heights 96 and 320 ran 13-16% ABOVE that trend (Mosaic
+    retiling off the 128-sublane grid), so the candidate list keeps only
+    the heights that measured on-trend."""
     per_cell_max = counts.reshape(-1, pack).max(1)
     n = int(counts.sum())
     best, best_score = 128, -1.0
@@ -279,10 +288,63 @@ def pick_sub(counts: np.ndarray, pack: int) -> int:
         if slots == 0:
             continue
         fill = n / slots
-        score = fill / (1.2 + 46.0 / sub)  # v5e-measured per-slot model
+        score = fill / (1.0 + 94.0 / sub)
         if score > best_score:
             best, best_score = sub, score
     return best
+
+
+def _balance_map(counts: np.ndarray, tile: int, pack: int) -> np.ndarray:
+    """``new_of_old`` relabeling: per-tile capacity-constrained LPT over
+    slots.
+
+    Within each ``tile``-sized id block, rows are assigned heaviest-first
+    to the least-loaded slot that still has physical rows free (longest-
+    processing-time scheduling with per-slot capacity tile/P). This
+    balances per-(cell, slot) bucket sizes under zipfy marginals, where
+    the natural ``id % P`` hash lets one head row blow up a single slot
+    bucket and every cell column quantizes at its fullest slot
+    (cols_per_cell in _prepare_cells_slot_impl). Measured on the
+    calibrated ML-10M stand-in: natural hash fill 0.477 (sub 192) ->
+    LPT 0.754 (sub 128); round-robin-by-rank only reaches 0.636. Tile
+    membership (id // tile) is PRESERVED so head/tail mixing across tiles
+    is unchanged."""
+    P = pack
+    n = counts.size
+    n_pad = cdiv(n, tile) * tile
+    c = np.zeros(n_pad, np.int64)
+    c[:n] = counts
+    rows = tile // P
+    out = np.empty(n_pad, np.int64)
+    for t in range(n_pad // tile):
+        seg = c[t * tile : (t + 1) * tile]
+        order = np.argsort(-seg, kind="stable")
+        load = np.zeros(P, np.float64)
+        nxt = np.zeros(P, np.int64)
+        for o in order:
+            j = int(np.argmin(np.where(nxt < rows, load, np.inf)))
+            out[t * tile + o] = t * tile + j + P * nxt[j]
+            load[j] += seg[o]
+            nxt[j] += 1
+    return out[:n].astype(np.int32)
+
+
+def balance_dataset(
+    ds: RatingsCOO, tile_u: int, tile_v: int, pack: int
+) -> Tuple[RatingsCOO, np.ndarray, np.ndarray]:
+    """Relabel user/item ids so head rows spread across slots within each
+    tile (see _balance_map). Returns (relabeled ds, map_u, map_v) where the
+    maps are new-id-of-old-id; the relabeled ds is padded to whole tiles
+    (same n_gu/n_gv). Training on the relabeled ids is exact — the same
+    updates hit the same rows, just at different physical table positions —
+    and pack/unpack_params_slot invert the maps at the table boundary."""
+    mu = _balance_map(np.bincount(ds.u, minlength=ds.nu), tile_u, pack)
+    mv = _balance_map(np.bincount(ds.v, minlength=ds.nv), tile_v, pack)
+    ds2 = RatingsCOO(
+        u=mu[ds.u], v=mv[ds.v], r=ds.r,
+        nu=cdiv(ds.nu, tile_u) * tile_u, nv=cdiv(ds.nv, tile_v) * tile_v,
+    )
+    return ds2, mu, mv
 
 
 def slot_packing_factor(dim: int) -> int:
@@ -298,21 +360,24 @@ def slot_packing_factor(dim: int) -> int:
 
 
 def pack_params_slot(
-    params: MFParams, plan: SlotPlan
+    params: MFParams, plan: SlotPlan,
+    map_u: np.ndarray | None = None, map_v: np.ndarray | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Slot-major stacked tables: table row ``id`` at physical row
     (id // tile)*tile + (id % P)*rows + (id % tile)//P, data in slot
     id % P's lanes only. Homogeneous slots — theta [fac | bu | 1 | cnt],
     phi [fac | 1 | bv | cnt] — so pred = slot-sum(t*p) + gb with no lane
-    masks in the mid-chain."""
+    masks in the mid-chain. Optional ``map_u/map_v`` are balance_dataset
+    relabelings (new-id-of-old-id): row i of params lands at the physical
+    position of its NEW id."""
     P = plan.pack
     m = LANES // P
     dim = params.theta.shape[1]
     assert dim + 3 <= m
 
-    def pack(fac, bias, tile, total_rows, one_first):
+    def pack(fac, bias, tile, total_rows, one_first, idmap):
         n = fac.shape[0]
-        ids = np.arange(n)
+        ids = np.arange(n) if idmap is None else idmap.astype(np.int64)
         rows = tile // P
         phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
         slot = ids % P
@@ -327,20 +392,21 @@ def pack_params_slot(
 
     return (
         pack(params.theta, params.bu, plan.tile_u,
-             plan.n_gu * plan.tile_u, False),
+             plan.n_gu * plan.tile_u, False, map_u),
         pack(params.phi, params.bv, plan.tile_v,
-             plan.n_gv * plan.tile_v, True),
+             plan.n_gv * plan.tile_v, True, map_v),
     )
 
 
 def unpack_params_slot(
-    theta_s, phi_s, nu, nv, dim, gb, tile_u, tile_v, pack
+    theta_s, phi_s, nu, nv, dim, gb, tile_u, tile_v, pack,
+    map_u: np.ndarray | None = None, map_v: np.ndarray | None = None,
 ) -> MFParams:
     P = pack
     m = LANES // P
 
-    def unpack(tab, n, tile, bias_lane):
-        ids = np.arange(n)
+    def unpack(tab, n, tile, bias_lane, idmap):
+        ids = np.arange(n) if idmap is None else idmap.astype(np.int64)
         rows = tile // P
         phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
         slot = ids % P
@@ -348,8 +414,8 @@ def unpack_params_slot(
         fused = t3[phys, slot]
         return fused[:, :dim], fused[:, bias_lane]
 
-    th, bu = unpack(theta_s, nu, tile_u, dim)
-    ph, bv = unpack(phi_s, nv, tile_v, dim + 1)  # phi slot: [fac | 1 | bv]
+    th, bu = unpack(theta_s, nu, tile_u, dim, map_u)
+    ph, bv = unpack(phi_s, nv, tile_v, dim + 1, map_v)  # [fac | 1 | bv]
     return MFParams(theta=th, phi=ph, bu=bu, bv=bv,
                     gb=jnp.asarray(gb, jnp.float32))
 
@@ -718,6 +784,7 @@ class SlotEpochRunner:
         dim: int | None = None,
         pack: int | None = None,
         scatter_dg: bool = False,
+        balance: bool = False,
     ):
         if pack is None:
             assert dim is not None, "pass dim= or pack="
@@ -728,6 +795,12 @@ class SlotEpochRunner:
         self.pack = pack
         tile_u = tile_u or 128 * pack
         tile_v = tile_v or 128 * pack
+        self.nu, self.nv = ds.nu, ds.nv  # pre-relabel row counts for trim
+        self._map_u = self._map_v = None
+        if balance:
+            ds, self._map_u, self._map_v = balance_dataset(
+                ds, tile_u, tile_v, pack
+            )
         if sub is None:
             sub = pick_sub(
                 _slot_bucket_counts(ds, tile_u, tile_v, pack), pack
@@ -739,7 +812,6 @@ class SlotEpochRunner:
             for p in range(max(1, n_plans))
         ]
         self.plan = self.plans[0]
-        self.nu, self.nv = ds.nu, ds.nv
         self.tile_u, self.tile_v = tile_u, tile_v
         self.mxu = mxu
         self.interpret = interpret
@@ -856,12 +928,13 @@ class SlotEpochRunner:
     def pad(self, params: MFParams):
         self.dim = params.theta.shape[1]
         self.gb = float(params.gb)
-        return pack_params_slot(params, self.plan)
+        return pack_params_slot(params, self.plan, self._map_u, self._map_v)
 
     def trim(self, tables, dim: int | None = None) -> MFParams:
         return unpack_params_slot(
             tables[0], tables[1], self.nu, self.nv, dim or self.dim,
             self.gb, self.tile_u, self.tile_v, self.pack,
+            self._map_u, self._map_v,
         )
 
 

@@ -322,16 +322,19 @@ def _run_slot_sgld_epoch(
 
 
 def pack_sgld_slot(
-    state: DPMFState, plan: SlotPlan
+    state: DPMFState, plan: SlotPlan,
+    map_u: np.ndarray | None = None, map_v: np.ndarray | None = None,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Slot-major SGLD tables (see module docstring for the slot layout)."""
+    """Slot-major SGLD tables (see module docstring for the slot layout).
+    ``map_u/map_v``: optional balance_dataset relabelings (new-of-old)."""
     P = plan.pack
     m = LANES // P
     params = state.params
     dim = params.theta.shape[1]
     assert dim + 6 <= m
 
-    def pack(fac, bias, gcount, invfreq, tile, total_rows, one_first):
+    def pack(fac, bias, gcount, invfreq, tile, total_rows, one_first,
+             idmap):
         n = fac.shape[0]
         lo, hi = split_count(np.asarray(gcount[:n]))
         one = jnp.ones((n, 1), jnp.float32)
@@ -349,7 +352,7 @@ def pack_sgld_slot(
             axis=1,
         )
         fused = jnp.pad(fused, ((0, 0), (0, m - fused.shape[1])))
-        ids = np.arange(n)
+        ids = np.arange(n) if idmap is None else idmap.astype(np.int64)
         rows = tile // P
         phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
         slot = ids % P
@@ -359,30 +362,31 @@ def pack_sgld_slot(
 
     return (
         pack(params.theta, params.bu, state.gcountu, state.ur,
-             plan.tile_u, plan.n_gu * plan.tile_u, False),
+             plan.tile_u, plan.n_gu * plan.tile_u, False, map_u),
         pack(params.phi, params.bv, state.gcountv, state.vr,
-             plan.tile_v, plan.n_gv * plan.tile_v, True),
+             plan.tile_v, plan.n_gv * plan.tile_v, True, map_v),
     )
 
 
 def unpack_sgld_slot(
-    state: DPMFState, theta_s, phi_s, plan: SlotPlan, n_processed: int
+    state: DPMFState, theta_s, phi_s, plan: SlotPlan, n_processed: int,
+    map_u: np.ndarray | None = None, map_v: np.ndarray | None = None,
 ) -> DPMFState:
     P = plan.pack
     m = LANES // P
     nu, dim = state.params.theta.shape
     nv = state.params.phi.shape[0]
 
-    def unpack(tab, n, tile):
-        ids = np.arange(n)
+    def unpack(tab, n, tile, idmap):
+        ids = np.arange(n) if idmap is None else idmap.astype(np.int64)
         rows = tile // P
         phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
         slot = ids % P
         t3 = jnp.asarray(np.asarray(tab)).reshape(-1, P, m)
         return t3[phys, slot]
 
-    tu = unpack(theta_s, nu, plan.tile_u)
-    pv = unpack(phi_s, nv, plan.tile_v)
+    tu = unpack(theta_s, nu, plan.tile_u, map_u)
+    pv = unpack(phi_s, nv, plan.tile_v, map_v)
     params = state.params._replace(
         theta=tu[:, :dim], phi=pv[:, :dim],
         bu=tu[:, dim], bv=pv[:, dim + 1],
@@ -419,6 +423,7 @@ class SlotSgldRunner:
         n_plans: int = 1,
         dim: int | None = None,
         tile: int | None = None,
+        balance: bool = False,
     ):
         assert dim is not None, "pass dim="
         pack = sgld_slot_pack(dim)
@@ -428,6 +433,15 @@ class SlotSgldRunner:
         self.pack = pack
         tile = tile or 128 * pack
         self.tile_u = self.tile_v = tile
+        self._map_u = self._map_v = None
+        if balance:
+            from tpu_mf.ops.pallas_sgd_slot import balance_dataset
+
+            # LPT slot relabeling: recovers plan fill on zipfy marginals
+            # (see pallas_sgd_slot._balance_map).
+            train_ds, self._map_u, self._map_v = balance_dataset(
+                train_ds, tile, tile, pack
+            )
         if sub is None:
             from tpu_mf.ops.pallas_sgd_slot import (
                 _slot_bucket_counts,
@@ -497,7 +511,7 @@ class SlotSgldRunner:
     def pad(self, state: DPMFState):
         self.dim = state.params.theta.shape[1]
         self.set_lambdas(state)
-        return pack_sgld_slot(state, self.plan)
+        return pack_sgld_slot(state, self.plan, self._map_u, self._map_v)
 
     def set_lambdas(self, state: DPMFState) -> None:
         """Slot-replicated lambda lane vectors (rebuilt after Gibbs)."""
@@ -537,7 +551,8 @@ class SlotSgldRunner:
 
     def unpack(self, state: DPMFState, tables) -> DPMFState:
         return unpack_sgld_slot(
-            state, tables[0], tables[1], self.plan, self.n_real
+            state, tables[0], tables[1], self.plan, self.n_real,
+            self._map_u, self._map_v,
         )
 
 

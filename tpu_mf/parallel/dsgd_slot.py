@@ -32,6 +32,7 @@ from tpu_mf.ops import pallas_sgd_slot
 from tpu_mf.ops.pallas_sgd import UV_BASE, _apply_flags, _dup_stats, cdiv
 from tpu_mf.ops.pallas_sgd_slot import (
     _slot_bucket_counts,
+    balance_dataset,
     pack_params_slot,
     pick_sub,
     prepare_cells_slot,
@@ -106,6 +107,7 @@ class ShardedSlotRunner:
         phi_groups=None,
         scatter_dg: bool = False,
         tile: int | None = None,
+        balance: bool = False,
     ):
         self.mesh = mesh
         self.n_dev = mesh.devices.size
@@ -116,6 +118,14 @@ class ShardedSlotRunner:
         tile = tile or 128 * pack
         self.tile_u = self.tile_v = tile
         self.nu, self.nv = ds.nu, ds.nv
+        self._map_u = self._map_v = None
+        if balance:
+            # LPT slot relabeling preserves tile membership, hence also
+            # chunk (device-shard) membership — the diagonal-block plan
+            # below is unchanged structurally (pallas_sgd_slot._balance_map).
+            ds, self._map_u, self._map_v = balance_dataset(
+                ds, tile, tile, pack
+            )
         self.mxu, self.interpret = mxu, interpret
         self.scatter_dg = scatter_dg
         self.theta_groups, self.phi_groups = theta_groups, phi_groups
@@ -226,7 +236,10 @@ class ShardedSlotRunner:
             tile_u=self.tile_u, tile_v=self.tile_v,
             n_gu=self.n_dev * self.n_gu, n_gv=self.n_dev * self.n_gv,
         )
-        theta_s, phi_s = pack_params_slot(params, _SlotPlanView(view, self.pack))
+        theta_s, phi_s = pack_params_slot(
+            params, _SlotPlanView(view, self.pack),
+            self._map_u, self._map_v,
+        )
         shard = row_sharding(self.mesh)
         return jax.device_put(theta_s, shard), jax.device_put(phi_s, shard)
 
@@ -253,6 +266,7 @@ class ShardedSlotRunner:
             jnp.asarray(np.asarray(tables[1])),
             self.nu, self.nv, self.dim, self.gb,
             self.tile_u, self.tile_v, self.pack,
+            self._map_u, self._map_v,
         )
 
 
