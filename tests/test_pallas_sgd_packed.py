@@ -196,3 +196,20 @@ def test_adaptive_phi_groups_convergence():
     out = runner.trim(tables)
     final = rmse(out, test)
     assert final < 0.6, f"adaptive phi-group training failed to converge: {final}"
+
+
+def test_packed_envelope_warns_instead_of_silent_nan():
+    """When even the most sequential grouping (g=8) breaks the staleness
+    envelope, pick_*_groups must WARN (the slot kernel always did; the
+    packed/mega/blocked kernels used to NaN silently)."""
+    ds = synthetic_ratings(300, 200, 20000, rank=3, seed=1, zipf=1.4)
+    runner = PackedEpochRunner(ds, batch=8192, seed=2, dim=8)
+    big_eta = 1.0  # guaranteed to exceed eta * dups <= 0.2 at g=8
+    assert big_eta * runner._vdup_max[8] > 0.2
+    with pytest.warns(UserWarning, match="staleness envelope exceeded"):
+        runner.pick_phi_groups(big_eta)
+    # once per runner per side: a second pick stays silent
+    import warnings as _w
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        runner.pick_phi_groups(big_eta)

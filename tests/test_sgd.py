@@ -127,3 +127,19 @@ def test_predict_logistic():
     raw = predict(params, u, v, loss=0)
     sig = predict(params, u, v, loss=1)
     np.testing.assert_allclose(np.asarray(sig), 1 / (1 + np.exp(-np.asarray(raw))), atol=1e-6)
+
+
+def test_divergence_diagnosis_logged_once():
+    """A run that goes non-finite must print ONE actionable diagnosis line
+    (the round-3 silent-nan product gap: the packed kernel at eta=0.02 on
+    pure-zipf data NaNed with no hint why)."""
+    ds = synthetic_ratings(300, 200, 20000, rank=3, noise=0.1, seed=1,
+                           zipf=1.4)
+    train, test = ds.split(0.2, seed=2)
+    cfg = TrainConfig(dim=8, iters=4, eta=30.0, lam=0.01, gam=0.0,
+                      gb=ds.mean_rating(), batch_size=4096)
+    lines = []
+    train_mf(cfg, train, test_ds=test, log=lines.append)
+    warns = [l for l in lines if l.startswith("# WARNING: non-finite")]
+    assert len(warns) == 1, lines
+    assert "Reduce --eta" in warns[0]

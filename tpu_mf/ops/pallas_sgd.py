@@ -527,6 +527,7 @@ class PallasEpochRunner:
             assert phi_groups in (1, 2, 4, 8), phi_groups
         self.theta_groups = theta_groups
         self.phi_groups = phi_groups
+        self._warned = set()
         # Elementwise max over ALL plans: epoch() rotates plans, and each
         # independent shuffle has its own within-window duplicate profile —
         # the staleness guard must hold for every plan it can pick.
@@ -574,6 +575,8 @@ class PallasEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._dup_max[g] <= 0.2:
                 return g
+        warn_window_envelope("blocked", "theta", eta, self._dup_max[8],
+                             self._warned)
         return 8
 
     def pick_phi_groups(self, eta: float) -> int:
@@ -583,6 +586,8 @@ class PallasEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._vdup_max[g] <= 0.2:
                 return g
+        warn_window_envelope("blocked", "phi", eta, self._vdup_max[8],
+                             self._warned)
         return 8
 
     def epoch(self, tables, eta: float, lam: float, gb: float,
@@ -613,6 +618,31 @@ class PallasEpochRunner:
         return split_params(
             tables[0], tables[1], self.nu, self.nv, dim or self.dim, self.gb
         )
+
+
+def warn_window_envelope(
+    kind: str, side: str, eta: float, dups: int, warned: set
+) -> None:
+    """Once-per-runner-per-side warning when even the most sequential
+    grouping (g=8) breaks the deferred-apply staleness envelope
+    (eta * max window duplicates > 0.2) — the run proceeds at g=8, but
+    on duplicate-heavy (zipfy) data it can diverge SILENTLY (nan tRMSE,
+    bias terms first), so say so up front."""
+    if side in warned:
+        return
+    warned.add(side)
+    import warnings
+
+    warnings.warn(
+        f"{kind} kernel {side}-side staleness envelope exceeded even at "
+        f"the most sequential grouping: eta={eta:g} x max window "
+        f"duplicates {dups} = {eta * dups:.2f} > 0.2. A row hit that "
+        "often inside one deferred-apply window accumulates that many "
+        "gradients computed at the same stale point and can diverge "
+        "(bias terms first; watch for nan tRMSE). Reduce eta, raise gam "
+        "so eta decays faster, or shrink the batch.",
+        stacklevel=4,
+    )
 
 
 def _user_dup_stats(plan: CellPlan) -> dict:

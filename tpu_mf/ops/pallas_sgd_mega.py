@@ -51,6 +51,7 @@ from tpu_mf.ops.pallas_sgd import (
     UV_SHIFT,
     _apply_flags,
     _dup_stats,
+    warn_window_envelope,
     cdiv,
 )
 from tpu_mf.ops.pallas_sgd_packed import (
@@ -419,6 +420,7 @@ class MegaEpochRunner:
             assert phi_groups in (1, 2, 4, 8), phi_groups
         self.theta_groups = theta_groups
         self.phi_groups = phi_groups
+        self._warned = set()
         self._dup_max = None
         self._vdup_max = None
         if theta_groups is None:
@@ -454,6 +456,8 @@ class MegaEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._dup_max[g] <= 0.2:
                 return g
+        warn_window_envelope("mega", "theta", eta, self._dup_max[8],
+                             self._warned)
         return 8
 
     def pick_phi_groups(self, eta: float) -> int:
@@ -463,6 +467,8 @@ class MegaEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._vdup_max[g] <= 0.2:
                 return g
+        warn_window_envelope("mega", "phi", eta, self._vdup_max[8],
+                             self._warned)
         return 8
 
     def epoch(self, tables, eta: float, lam: float, gb: float,

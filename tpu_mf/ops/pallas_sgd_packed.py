@@ -51,6 +51,7 @@ from tpu_mf.ops.pallas_sgd import (
     UV_SHIFT,
     _apply_flags,
     _dup_stats,
+    warn_window_envelope,
     cdiv,
 )
 
@@ -511,6 +512,7 @@ class PackedEpochRunner:
             assert phi_groups in (1, 2, 4, 8), phi_groups
         self.theta_groups = theta_groups
         self.phi_groups = phi_groups
+        self._warned = set()
         self._dup_max = None
         self._vdup_max = None
         if theta_groups is None:
@@ -546,6 +548,8 @@ class PackedEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._dup_max[g] <= 0.2:
                 return g
+        warn_window_envelope("packed", "theta", eta, self._dup_max[8],
+                             self._warned)
         return 8
 
     def pick_phi_groups(self, eta: float) -> int:
@@ -563,6 +567,8 @@ class PackedEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._vdup_max[g] <= 0.2:
                 return g
+        warn_window_envelope("packed", "phi", eta, self._vdup_max[8],
+                             self._warned)
         return 8
 
     def epoch(self, tables, eta: float, lam: float, gb: float,

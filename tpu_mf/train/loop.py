@@ -41,13 +41,16 @@ class _Observer:
     ``<result>.state.*`` and restarts from the newest one (io/resume.py).
     """
 
-    def __init__(self, cfg: TrainConfig, n_train: int):
+    def __init__(self, cfg: TrainConfig, n_train: int,
+                 log: Callable[[str], None] = print):
         self.cfg = cfg
         self.n_train = n_train
         self.ml = MetricsLogger(cfg.metrics) if cfg.metrics else None
         self.prefix = (
             f"{cfg.result}.state" if (cfg.resume and cfg.result) else None
         )
+        self._log = log
+        self._diverged = False
 
     def trace(self):
         return profile_trace(self.cfg.trace)
@@ -70,6 +73,25 @@ class _Observer:
         params_fn/extras_fn are lazy so the fused paths only pay for table
         trimming when a checkpoint is actually being written.
         """
+        if not self._diverged:
+            # Once-per-run divergence diagnosis: batched/Hogwild SGD
+            # overshoots when eta x (repeats of one row inside an apply
+            # window) is too large — the reference tolerates the same via
+            # its lock-free races (src/mf.h:72-133) but a bare nan tRMSE
+            # column is a miserable way to learn that.
+            for k in ("tRMSE", "RMSE"):
+                v = fields.get(k)
+                if v is not None and not np.isfinite(v):
+                    self._diverged = True
+                    self._log(
+                        f"# WARNING: non-finite {k} at round {rnd} — SGD "
+                        "diverged. A row repeated k times inside one apply "
+                        "window takes k gradients computed at the same "
+                        "point; at this eta and duplicate density that "
+                        "overshoots (bias terms first). Reduce --eta, "
+                        "raise --gam (faster decay), or shrink --batch."
+                    )
+                    break
         if self.ml is not None:
             self.ml.count_updates(self.n_train)
             self.ml.log(round=rnd, **fields)
@@ -107,7 +129,7 @@ def train_mf(
         key = jax.random.PRNGKey(cfg.seed)
         params = init_mf(key, nu, nv, cfg.dim, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype))
 
-    obs = _Observer(cfg, len(train_ds))
+    obs = _Observer(cfg, len(train_ds), log)
     start, rparams, _ = obs.resume()
     if rparams is not None:
         params = rparams
@@ -401,7 +423,7 @@ def train_mf_stream(
         params = init_mf(key, nu, nv, cfg.dim, gb=cfg.gb,
                          dtype=jnp.dtype(cfg.dtype))
 
-    obs = _Observer(cfg, 0)
+    obs = _Observer(cfg, 0, log)
     start, rparams, _ = obs.resume()
     if rparams is not None:
         params = rparams
@@ -542,7 +564,7 @@ def train_dpmf_stream(
     bound = dp_bound(cfg.epsilon, cfg.tau, nv)
     base_key = jax.random.PRNGKey(cfg.seed ^ 0xD1FF)
 
-    obs = _Observer(cfg, ntrain)
+    obs = _Observer(cfg, ntrain, log)
     start, rparams, rex = obs.resume()
     if rparams is not None:
         state = state._replace(
@@ -637,7 +659,7 @@ def train_admf_stream(
     state = init_admf(
         key, nu, nv, cfg.dim, lam=cfg.lam, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype)
     )
-    obs = _Observer(cfg, ntrain)
+    obs = _Observer(cfg, ntrain, log)
     start, rparams, rex = obs.resume()
     if rparams is not None:
         state = state._replace(
@@ -737,7 +759,7 @@ def train_dpmf(
     ntrain = len(train_ds)
     bound = dp_bound(cfg.epsilon, cfg.tau, train_ds.nv)
 
-    obs = _Observer(cfg, ntrain)
+    obs = _Observer(cfg, ntrain, log)
     start, rparams, rex = obs.resume()
     if rparams is not None:
         # Full SGLD state round-trips: params + Gibbs precisions + lazy-noise
@@ -937,7 +959,7 @@ def train_admf(
             key, nu, nv, cfg.dim, lam=cfg.lam, gb=cfg.gb, dtype=jnp.dtype(cfg.dtype)
         )
 
-    obs = _Observer(cfg, len(train_ds))
+    obs = _Observer(cfg, len(train_ds), log)
     start, rparams, rex = obs.resume()
     if rparams is not None:
         # Shadow tables restart as copies of the restored params — the same
