@@ -266,7 +266,7 @@ class FusedStreamTrainer:
                     # streamed shards reshuffle every epoch; the plan-level
                     # duplicate statistics are not available without an extra
                     # pass, so stay fully sequential (the safe default).
-                    theta_groups=8,
+                    theta_groups=8, mxu_pred=True,
                 )
         finally:
             pf.close()

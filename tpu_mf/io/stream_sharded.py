@@ -60,6 +60,7 @@ def _substep_fn(
             theta_ext, phi_ext, gu[0], gv[0], uv[0], uvt[0], r[0], hyper,
             tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
             n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
+            mxu_pred=True,
         )
         phi_ext = jax.lax.ppermute(phi_ext, AXIS, perm)
         return theta_ext, phi_ext

@@ -221,6 +221,7 @@ def _epoch_kernel(
     acc, sem,
     *, tile_u: int, tile_v: int, batch: int, dim: int, lanes: int, mxu_dtype,
     theta_groups: int = 8, phi_groups: int = 8, scatter_dg: bool = False,
+    mxu_pred: bool = False, mxu_apply: bool = False,
 ):
     eta = hyper_ref[0]
     lam = hyper_ref[1]
@@ -280,6 +281,17 @@ def _epoch_kernel(
     ln_lameta = jnp.log(lameta)  # lameta > 0 for any sane config
     lnv_u = ln_lameta * m_keep_u  # per-lane: one/cnt lanes don't decay
     lnv_v = ln_lameta * m_keep_v
+    if mxu_pred:
+        # pred on the MXU: rowsum(t*p) as (t*p) @ ones — the result arrives
+        # PRE-BROADCAST across all lanes, killing both the VPU log-reduction
+        # and the pred lane-broadcast (measured 24% of the rank-64 step,
+        # ablate_wide64.py widemxu).
+        ones_mx = jnp.ones((lanes, lanes), mxu_dtype)
+    if mxu_apply:
+        # Count-pick one-hot: (d @ CB)[:, l] == d[:, dim+2] — the decay
+        # exponent arrives pre-broadcast (f32 matmul: counts stay exact).
+        c_iota = jax.lax.broadcasted_iota(jnp.int32, (lanes, lanes), 0)
+        CB = (c_iota == dim + 2).astype(jnp.float32)
 
     # BOTH sides apply in adaptive groups, each gated by the plan's measured
     # within-window duplicate statistics and eta (staleness of k accumulated
@@ -292,6 +304,13 @@ def _epoch_kernel(
     # serialized through the phi read-update-write chain.
     tg_w = 8 // theta_groups
     pg_w = 8 // phi_groups
+
+    def cnt_bcast(d):
+        """Per-row update count (the decay exponent), broadcast-ready."""
+        if mxu_apply:
+            return jnp.dot(d, CB, preferred_element_type=jnp.float32)
+        return jnp.sum(d * m_cnt, axis=1, keepdims=True)
+
     theta_mx = None
     d_theta_g = None
     pending = []
@@ -320,9 +339,15 @@ def _epoch_kernel(
         p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
 
         # Homogeneous rows: rowsum(t*p) = t.p + bu*1 + 1*bv — no masks.
-        pred = jnp.sum(t * p, axis=1, keepdims=True) + gb
         wk = w3[:, k : k + 1]
-        err = (eta * wk) * (r3[:, k : k + 1] - pred)  # (B/8, 1)
+        if mxu_pred:
+            pred = jnp.dot(
+                (t * p).astype(mxu_dtype), ones_mx,
+                preferred_element_type=jnp.float32,
+            ) + gb                                        # (B/8, lanes)
+        else:
+            pred = jnp.sum(t * p, axis=1, keepdims=True) + gb
+        err = (eta * wk) * (r3[:, k : k + 1] - pred)  # (B/8, 1 | lanes)
 
         # Fused scatters: err*p delivers factor deltas AND (via phi's
         # one-lane) the bias delta; w in the count lane. The garbage this
@@ -351,7 +376,7 @@ def _epoch_kernel(
             # lane) applied NOW so the next column sees this one's updates.
             # The keep/one masks also re-pin the homogeneous lane to 1 and
             # clear the count scratch + scatter garbage.
-            k_v = jnp.sum(d_phi * m_cnt, axis=1, keepdims=True)
+            k_v = cnt_bcast(d_phi)
             phi_out[pl.ds(off, tile_v), :] = (
                 phi * jnp.exp(k_v * lnv_v) + d_phi * m_keep_v
             )
@@ -364,7 +389,7 @@ def _epoch_kernel(
                     @pl.when(ap_ref[8 * i + kk] == 1)
                     def _(off_=off_, phi_=phi_):
                         a = acc[pl.ds(off_, tile_v), :]
-                        k_v = jnp.sum(a * m_cnt, axis=1, keepdims=True)
+                        k_v = cnt_bcast(a)
                         phi_out[pl.ds(off_, tile_v), :] = (
                             phi_ * jnp.exp(k_v * lnv_v) + a * m_keep_v
                         )
@@ -374,7 +399,7 @@ def _epoch_kernel(
 
         if k % tg_w == tg_w - 1:
             # User tile: apply the group's accumulated deltas and decay.
-            k_u = jnp.sum(d_theta_g * m_cnt, axis=1, keepdims=True)
+            k_u = cnt_bcast(d_theta_g)
             theta = theta * jnp.exp(k_u * lnv_u) + d_theta_g * m_keep_u
 
     theta_out[:] = theta
@@ -386,6 +411,7 @@ def _epoch_kernel(
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu",
         "interpret", "theta_groups", "phi_groups", "scatter_dg",
+        "mxu_pred", "mxu_apply",
     ),
 )
 def _run_epoch(
@@ -393,6 +419,7 @@ def _run_epoch(
     gu, gv, uv, uvt, r, hyper, ap=None,
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
     theta_groups=8, phi_groups=8, scatter_dg=False,
+    mxu_pred=False, mxu_apply=False,
 ):
     assert theta_groups in (1, 2, 4, 8), (
         f"theta_groups must divide the 8 lane columns, got {theta_groups}"
@@ -413,6 +440,7 @@ def _run_epoch(
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, lanes=lanes,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
         phi_groups=phi_groups, scatter_dg=scatter_dg,
+        mxu_pred=mxu_pred, mxu_apply=mxu_apply,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -502,8 +530,15 @@ class PallasEpochRunner:
         phi_groups=None,
         n_plans: int = 1,
         scatter_dg: bool = False,
+        mxu_pred: bool = True,
+        mxu_apply: bool = False,
     ):
         self.scatter_dg = scatter_dg
+        # MXU-side pred rowsum+broadcast: measured -21%/step at rank 64
+        # (ablate_wide64.py widemxu); exact in interpret/f32 mode, one extra
+        # bf16 rounding of t*p otherwise (tables are already bf16 on MXU).
+        self.mxu_pred = mxu_pred
+        self.mxu_apply = mxu_apply
         batch = cdiv(batch, 8) * 8
         # n_plans > 1 rotates between independently-shuffled cell plans per
         # epoch, restoring between-epoch reshuffling (the reference replays
@@ -607,6 +642,7 @@ class PallasEpochRunner:
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
             phi_groups=pg, scatter_dg=self.scatter_dg,
+            mxu_pred=self.mxu_pred, mxu_apply=self.mxu_apply,
         )
 
     def pad(self, params: MFParams):

@@ -115,6 +115,7 @@ def _mega_kernel(
     acc, sem_t, sem_p,
     *, tile_u: int, tile_v: int, batch: int, dim: int, pack: int, mega: int,
     mxu_dtype, theta_groups: int, phi_groups: int, scatter_dg: bool = False,
+    mxu_pred: bool = False,
 ):
     P = pack
     m = LANES // P
@@ -159,6 +160,9 @@ def _mega_kernel(
     # Count-broadcast one-hot: (d @ CB)[:, l] == d[:, slot(l)*m + cnt_lane].
     c_iota = jax.lax.broadcasted_iota(jnp.int32, (LANES, LANES), 0)
     CB = (c_iota == slot_lane * m + cnt_lane).astype(jnp.float32)
+    if mxu_pred:
+        assert P == 1, "mxu_pred needs homogeneous (pack=1) rows"
+        ones_mx = jnp.ones((LANES, LANES), mxu_dtype)
 
     def apply_u(tab, kc, d):
         if P == 1:
@@ -232,8 +236,16 @@ def _mega_kernel(
                 rhs_v0 = err * ((t * m_fac + m_bias) * msk) + cnt
             else:
                 # Homogeneous rows: one fused multiply, no lane masks
-                # (ops/pallas_sgd.py mid-chain).
-                pred = jnp.sum(t * p, axis=1, keepdims=True) + gb
+                # (ops/pallas_sgd.py mid-chain). mxu_pred: rowsum via
+                # ones-matmul, result pre-broadcast (ablate_wide64 widemxu,
+                # -21%/step at rank 64).
+                if mxu_pred:
+                    pred = jnp.dot(
+                        (t * p).astype(mxu_dtype), ones_mx,
+                        preferred_element_type=jnp.float32,
+                    ) + gb
+                else:
+                    pred = jnp.sum(t * p, axis=1, keepdims=True) + gb
                 err = (eta * wk) * (r3[:, k : k + 1] - pred)
                 rhs_u = (err * p + wk * m_cnt).astype(mxu_dtype)
                 rhs_v0 = err * t + wk * m_cnt
@@ -300,6 +312,7 @@ def _mega_kernel(
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "pack", "mega", "n_gu", "n_gv",
         "mxu", "interpret", "theta_groups", "phi_groups", "scatter_dg",
+        "mxu_pred",
     ),
 )
 def _run_mega_epoch(
@@ -307,6 +320,7 @@ def _run_mega_epoch(
     gu, gv, ap, uv, uvt, r, hyper,
     *, tile_u, tile_v, batch, dim, pack, mega, n_gu, n_gv, mxu="bfloat16",
     interpret=False, theta_groups=8, phi_groups=8, scatter_dg=False,
+    mxu_pred=False,
 ):
     assert theta_groups in (1, 2, 4, 8), theta_groups
     assert phi_groups in (1, 2, 4, 8), phi_groups
@@ -321,7 +335,7 @@ def _run_mega_epoch(
         _mega_kernel,
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, pack=pack,
         mega=mega, mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
-        phi_groups=phi_groups, scatter_dg=scatter_dg,
+        phi_groups=phi_groups, scatter_dg=scatter_dg, mxu_pred=mxu_pred,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -388,6 +402,7 @@ class MegaEpochRunner:
         pack: int | None = None,
         mega: int | None = None,
         scatter_dg: bool = False,
+        mxu_pred: bool | None = None,
     ):
         self.scatter_dg = scatter_dg
         if pack is None:
@@ -395,6 +410,8 @@ class MegaEpochRunner:
             pack = mega_packing_factor(dim)
         assert pack in (1, 2, 4, 8), f"mega kernel needs dim <= 126, got pack={pack}"
         self.pack = pack
+        # MXU-side pred for homogeneous (pack=1) rows; see PallasEpochRunner.
+        self.mxu_pred = (pack == 1) if mxu_pred is None else mxu_pred
         default_tile = min(128 * pack, 1024) if pack > 1 else 512
         tile_u = tile_u or default_tile
         tile_v = tile_v or default_tile
@@ -486,6 +503,7 @@ class MegaEpochRunner:
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
             phi_groups=pg, scatter_dg=self.scatter_dg,
+            mxu_pred=self.mxu_pred,
         )
 
     def pad(self, params: MFParams):

@@ -171,6 +171,7 @@ def _sharded_epoch_fn(
                 theta_ext, phi_ext, sgu, sgv, suv, suvt, sr, hyper,
                 tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
                 n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
+                mxu_pred=True,
             )
             phi_ext = jax.lax.ppermute(phi_ext, AXIS, perm)
             return (theta_ext, phi_ext), None

@@ -200,7 +200,6 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
     slot plans are never built when no epoch could ever use them.
     """
     from tpu_mf.ops.pallas_sgd import PallasEpochRunner
-    from tpu_mf.ops.pallas_sgd_mega import MegaEpochRunner, mega_eligible
     from tpu_mf.ops.pallas_sgd_packed import PackedEpochRunner, packed_eligible
     from tpu_mf.ops.pallas_sgd_slot import (
         SlotEpochRunner,
@@ -242,18 +241,20 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
             train_ds, batch=max(8192, cfg.batch_size), seed=cfg.seed,
             n_plans=n_plans, dim=cfg.dim,
         )
-    elif cfg.dim <= 126 and mega_eligible(params, 8192):
-        # Mid rank (63..126) with both tables VMEM-resident: the mega
-        # kernel at tile 384 (best measured rank-64 config, +14% over the
-        # blocked-tile base kernel).
-        runner = MegaEpochRunner(
-            train_ds, tile_u=384, tile_v=384,
+    elif cfg.dim <= 126:
+        # Mid rank (63..126): blocked gen-1 at tile 256 with the MXU-side
+        # pred (round 3: 251M/s calibrated rank 64 vs 212M for the
+        # round-2 mega-resident t384 pick; removing the VPU pred rowsum
+        # shifts the balance to the matmuls, so the tile sweet spot drops
+        # from 384 to 256 — benchmarks/sweep_mxupred{,2,3}.py).
+        runner = PallasEpochRunner(
+            train_ds, tile_u=256, tile_v=256,
             batch=max(8192, cfg.batch_size), seed=cfg.seed,
-            n_plans=n_plans, dim=cfg.dim,
+            n_plans=n_plans,
         )
     else:
-        # 256-lane rows (dim >= 126) want smaller tiles: measured at dim=128,
-        # tile 256 = 174M/s vs tile 512 = 127M/s (the matmul/one-hot width
+        # 256-lane rows (dim >= 126) keep tile 256: measured at dim=128,
+        # tile 256 = 186M/s vs tile 384 = 154M/s (the matmul/one-hot width
         # doubles with the lane count, so the tile sweet spot halves).
         tile = 256 if cfg.dim >= 126 else 512
         runner = PallasEpochRunner(
@@ -332,8 +333,11 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log, obs=None, start=0) ->
                     "using the gen-1 blocked kernel on the mesh")
                 runner = None
         if runner is None:
+            # Same tile rule as the single-chip gen-1 pick: MXU-pred moves
+            # the mid/large-rank sweet spot to 256 (sweep_mxupred2.py).
+            tile = 256 if cfg.dim >= 63 else 512
             runner = ShardedPallasRunner(
-                train_ds, mesh, tile_u=512, tile_v=512,
+                train_ds, mesh, tile_u=tile, tile_v=tile,
                 batch=max(1024, cfg.batch_size), seed=cfg.seed,
             )
         tables = runner.pad(params)
