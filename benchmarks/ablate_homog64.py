@@ -18,6 +18,9 @@ see PERF_NOTES).
   empty     - body only copies theta through
 
 Usage: ablate_homog64.py VARIANT [TILE] [BATCH] [N]
+Round-3 addendum: an "mp" prefix composes the MXU-pred mid-chain (now the
+production kernel) with each ablation: mp = the new full, mpnoonehot,
+mpnogather, mpnoscatter, mpnostreams, mpnodecay.
 """
 import functools
 import sys
@@ -35,6 +38,10 @@ from tpu_mf.models.mf import init_mf
 from tpu_mf.ops.pallas_sgd import UV_BASE, UV_SHIFT, PallasEpochRunner, row_lanes
 
 VARIANT = sys.argv[1] if len(sys.argv) > 1 else "full"
+MP = VARIANT.startswith("mp")
+ABL = VARIANT[2:] if MP else VARIANT
+if MP and ABL == "":
+    ABL = "full"
 TILE = int(sys.argv[2]) if len(sys.argv) > 2 else 384
 BATCH = int(sys.argv[3]) if len(sys.argv) > 3 else 8192
 N = int(sys.argv[4]) if len(sys.argv) > 4 else 10_000_000
@@ -44,7 +51,8 @@ DIM = 64
 def kernel(gu_ref, gv_ref, ap_ref, hyper_ref,
            uv_ref, uvt_ref, r_ref, theta_ref, phi_hbm,
            theta_out, phi_out, acc, sem,
-           *, tile_u, tile_v, batch, dim, lanes, mxu_dtype, variant):
+           *, tile_u, tile_v, batch, dim, lanes, mxu_dtype, variant,
+           mp=False):
     eta = hyper_ref[0]
     lam = hyper_ref[1]
     gb = hyper_ref[2]
@@ -128,11 +136,13 @@ def kernel(gu_ref, gv_ref, ap_ref, hyper_ref,
             err = eta * wk * r3[:, k : k + 1]
             rhs_u = (err * p).astype(mxu_dtype)
             rhs_v = (err * t).astype(mxu_dtype)
-        elif variant == "mxupred":
-            # pred via an f32 ones-matmul on the MXU (all lanes carry the
-            # rowsum) instead of the VPU lane reduction + broadcast.
-            ones = jnp.ones((lanes, lanes), jnp.float32)
-            pred = jnp.dot(t * p, ones, preferred_element_type=jnp.float32) + gb
+        elif mp or variant == "mxupred":
+            # pred via a bf16 ones-matmul on the MXU (all lanes carry the
+            # rowsum) instead of the VPU lane reduction + broadcast —
+            # matches the production kernel (ops/pallas_sgd.py mxu_pred).
+            ones = jnp.ones((lanes, lanes), mxu_dtype)
+            pred = jnp.dot((t * p).astype(mxu_dtype), ones,
+                           preferred_element_type=jnp.float32) + gb
             err = (eta * wk) * (r3[:, k : k + 1] - pred)
             rhs_u = (err * p + wk * m_cnt).astype(mxu_dtype)
             rhs_v = (err * t + wk * m_cnt).astype(mxu_dtype)
@@ -169,16 +179,16 @@ def kernel(gu_ref, gv_ref, ap_ref, hyper_ref,
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1), static_argnames=(
-    "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "variant"))
+    "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "variant", "mp"))
 def run(theta_p, phi_p, gu, gv, ap, uv, uvt, r, hyper,
-        *, tile_u, tile_v, batch, dim, n_gu, n_gv, variant):
+        *, tile_u, tile_v, batch, dim, n_gu, n_gv, variant, mp=False):
     nb = uv.shape[0]
     gv = gv.reshape(-1)
     ap = ap.reshape(-1)
     lanes = row_lanes(dim)
     k = functools.partial(
         kernel, tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
-        lanes=lanes, mxu_dtype=jnp.bfloat16, variant=variant)
+        lanes=lanes, mxu_dtype=jnp.bfloat16, variant=variant, mp=mp)
     sub = batch // 8
     gs = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4, grid=(nb,),
@@ -220,7 +230,8 @@ def main():
     gu, gv, uv, uvt, r = runner.dev
     ap = runner.flags[0][8]
     kw = dict(tile_u=TILE, tile_v=TILE, batch=runner.batch, dim=DIM,
-              n_gu=runner.plan.n_gu, n_gv=runner.plan.n_gv, variant=VARIANT)
+              n_gu=runner.plan.n_gu, n_gv=runner.plan.n_gv, variant=ABL,
+              mp=MP)
     tables = run(*tables, gu, gv, ap, uv, uvt, r, hyper, **kw)
     _ = float(jnp.sum(tables[0]))
     t0 = time.perf_counter()

@@ -179,3 +179,46 @@ def test_scatter_dg_matches_transposed():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(oa.phi), np.asarray(ob.phi),
                                atol=1e-6)
+
+
+def test_balance_roundtrip_and_training():
+    """balance=True relabels ids (balance_cells) but training is exact:
+    pad->trim inverts the maps, and per-rating updates hit the same rows.
+    Verified against the unbalanced runner via the shared NumPy oracle
+    ordering is NOT possible (plans differ), so this checks (a) pad/trim
+    is an exact inverse, (b) a few epochs stay finite and reduce RMSE,
+    (c) the relabeled plan's fill is no worse than the natural one on a
+    zipfy dataset."""
+    from tpu_mf.data.coo import synthetic_ratings
+    from tpu_mf.models.mf import rmse
+
+    ds = synthetic_ratings(600, 400, 30000, rank=3, noise=0.1, seed=21,
+                           zipf=1.0, zipf_q=5.0, zipf_u=1.0, zipf_uq=10.0)
+    params = init_mf(jax.random.PRNGKey(9), ds.nu, ds.nv, 8, gb=3.0)
+    kw = dict(tile_u=128, tile_v=128, batch=256, seed=22,
+              mxu="float32", interpret=True)
+    bal = PallasEpochRunner(ds, balance=True, **kw)
+    nat = PallasEpochRunner(ds, **kw)
+
+    # (a) exact pad/trim roundtrip through the relabeled layout
+    rt = bal.trim(bal.pad(params), dim=8)
+    np.testing.assert_array_equal(np.asarray(rt.theta), np.asarray(params.theta))
+    np.testing.assert_array_equal(np.asarray(rt.bu), np.asarray(params.bu))
+    np.testing.assert_array_equal(np.asarray(rt.phi), np.asarray(params.phi))
+    np.testing.assert_array_equal(np.asarray(rt.bv), np.asarray(params.bv))
+
+    # (c) fill comparable-or-better on zipfy marginals (the big wins show
+    # at scale — calibrated ML-10M t256: 0.64 -> ~0.74; at toy scale the
+    # serpentine deal may round a near-full cell past a sub boundary)
+    fill_bal = bal.plan.n_real / bal.plan.w.size
+    fill_nat = nat.plan.n_real / nat.plan.w.size
+    assert fill_bal >= fill_nat - 0.02, (fill_bal, fill_nat)
+
+    # (b) training stays finite and converges
+    tables = bal.pad(params)
+    before = float(rmse(params, ds))
+    for it in range(3):
+        tables = bal.epoch(tables, 0.05, 0.01, 3.0, epoch_idx=it)
+    out = bal.trim(tables)
+    after = float(rmse(out, ds))
+    assert np.isfinite(after) and after < before, (before, after)

@@ -169,37 +169,90 @@ def _prepare_cells_impl(
     )
 
 
-def fuse_rows(fac, bias, rows: int, lanes: int, side: str) -> jax.Array:
+def _tile_balance_map(counts: np.ndarray, tile: int) -> np.ndarray:
+    """``new_of_old`` id relabeling equalizing per-TILE rating loads.
+
+    Serpentine deal: rows sorted heaviest-first are dealt across the tiles
+    in snake order (0..T-1, T-1..0, ...), so every tile receives the same
+    number of rows and near-identical total load even under zipfy
+    marginals. With both axes balanced, (user-tile x item-tile) cell sizes
+    concentrate near their mean, which is what the cell plan's
+    ceil(count/sub) padding responds to (calibrated ML-10M at tile 256:
+    fill 0.64 -> ~0.74, the uniform-marginal level). Analogous to the slot
+    kernel's within-tile LPT (pallas_sgd_slot._balance_map) but across
+    tiles; fully vectorized so Netflix-scale maps build in milliseconds."""
+    n = counts.size
+    n_tiles = cdiv(n, tile)
+    order = np.argsort(-counts, kind="stable")
+    idx = np.arange(n, dtype=np.int64)
+    rnd, c = divmod(idx, n_tiles)
+    tile_of = np.where(rnd % 2 == 0, c, n_tiles - 1 - c)
+    out = np.empty(n, np.int64)
+    out[order] = tile_of * tile + rnd
+    return out.astype(np.int32)
+
+
+def balance_cells(
+    ds: RatingsCOO, tile_u: int, tile_v: int
+) -> Tuple[RatingsCOO, np.ndarray, np.ndarray]:
+    """Relabel user/item ids to balance per-tile loads on both axes (see
+    _tile_balance_map). Returns (relabeled ds, map_u, map_v); training on
+    the relabeled ids is exact — the same updates hit the same rows at
+    different physical positions — and the runner's pad/trim invert the
+    maps at the table boundary. The relabeled ds is padded to whole
+    tiles."""
+    mu = _tile_balance_map(np.bincount(ds.u, minlength=ds.nu), tile_u)
+    mv = _tile_balance_map(np.bincount(ds.v, minlength=ds.nv), tile_v)
+    ds2 = RatingsCOO(
+        u=mu[ds.u], v=mv[ds.v], r=ds.r,
+        nu=cdiv(ds.nu, tile_u) * tile_u, nv=cdiv(ds.nv, tile_v) * tile_v,
+    )
+    return ds2, mu, mv
+
+
+def fuse_rows(fac, bias, rows: int, lanes: int, side: str,
+              idmap: np.ndarray | None = None) -> jax.Array:
     """Homogeneous fused rows. side="u": [fac | bias | 1 | 0...];
     side="v": [fac | 1 | bias | 0...]. Pad rows keep one=1 harmlessly=0:
-    they are never gathered (sentinel one-hots are all-zero)."""
+    they are never gathered (sentinel one-hots are all-zero). ``idmap``
+    (new-id-of-old-id, from balance_cells) scatters row i to table row
+    idmap[i] instead of i."""
     n = fac.shape[0]
     one = jnp.ones((n, 1), fac.dtype)
     cols = [fac, bias[:, None], one] if side == "u" else [fac, one, bias[:, None]]
-    ext = jnp.concatenate(cols, axis=1)
-    return jnp.pad(
-        ext, ((0, rows - n), (0, lanes - ext.shape[1]))
-    ).astype(jnp.float32)
+    ext = jnp.concatenate(cols, axis=1).astype(jnp.float32)
+    ext = jnp.pad(ext, ((0, 0), (0, lanes - ext.shape[1])))
+    if idmap is None:
+        return jnp.pad(ext, ((0, rows - n), (0, 0)))
+    return jnp.zeros((rows, lanes), jnp.float32).at[idmap].set(ext)
 
 
-def pad_params(params: MFParams, plan: CellPlan) -> Tuple[jax.Array, jax.Array]:
+def pad_params(
+    params: MFParams, plan: CellPlan,
+    map_u: np.ndarray | None = None, map_v: np.ndarray | None = None,
+) -> Tuple[jax.Array, jax.Array]:
     """Fused-layout tables (homogeneous rows, see module docstring)."""
     dim = params.theta.shape[1]
     lanes = row_lanes(dim)
     return (
-        fuse_rows(params.theta, params.bu, plan.n_gu * plan.tile_u, lanes, "u"),
-        fuse_rows(params.phi, params.bv, plan.n_gv * plan.tile_v, lanes, "v"),
+        fuse_rows(params.theta, params.bu, plan.n_gu * plan.tile_u, lanes,
+                  "u", map_u),
+        fuse_rows(params.phi, params.bv, plan.n_gv * plan.tile_v, lanes,
+                  "v", map_v),
     )
 
 
 def split_params(
-    theta_ext: jax.Array, phi_ext: jax.Array, nu: int, nv: int, dim: int, gb
+    theta_ext: jax.Array, phi_ext: jax.Array, nu: int, nv: int, dim: int, gb,
+    map_u: np.ndarray | None = None, map_v: np.ndarray | None = None,
 ) -> MFParams:
+    th = theta_ext if map_u is None else theta_ext[map_u]
+    ph = phi_ext if map_v is None else phi_ext[map_v]
     return MFParams(
-        theta=theta_ext[:nu, :dim],
-        phi=phi_ext[:nv, :dim],
-        bu=theta_ext[:nu, dim],
-        bv=phi_ext[:nv, dim + 1],  # phi rows are [fac | 1 | bias]
+        theta=th[:nu, :dim],
+        phi=ph[:nv, :dim],
+        bu=th[:nu, dim],
+        bv=ph[:nv, dim + 1],  # phi rows are [fac | 1 | bias]
         gb=jnp.asarray(gb, jnp.float32),
     )
 
@@ -532,8 +585,16 @@ class PallasEpochRunner:
         scatter_dg: bool = False,
         mxu_pred: bool = True,
         mxu_apply: bool = False,
+        balance: bool = False,
     ):
         self.scatter_dg = scatter_dg
+        # balance: serpentine per-tile load equalization (balance_cells) —
+        # recovers cell-plan fill on zipfy marginals; exact (pad/trim
+        # invert the maps).
+        self.nu, self.nv = ds.nu, ds.nv  # pre-relabel row counts for trim
+        self._map_u = self._map_v = None
+        if balance:
+            ds, self._map_u, self._map_v = balance_cells(ds, tile_u, tile_v)
         # MXU-side pred rowsum+broadcast: measured -21%/step at rank 64
         # (ablate_wide64.py widemxu); exact in interpret/f32 mode, one extra
         # bf16 rounding of t*p otherwise (tables are already bf16 on MXU).
@@ -549,7 +610,6 @@ class PallasEpochRunner:
             for p in range(max(1, n_plans))
         ]
         self.plan = self.plans[0]
-        self.nu, self.nv = ds.nu, ds.nv
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu = mxu
         self.interpret = interpret
@@ -648,11 +708,12 @@ class PallasEpochRunner:
     def pad(self, params: MFParams):
         self.dim = params.theta.shape[1]
         self.gb = float(params.gb)
-        return pad_params(params, self.plan)
+        return pad_params(params, self.plan, self._map_u, self._map_v)
 
     def trim(self, tables, dim: int | None = None) -> MFParams:
         return split_params(
-            tables[0], tables[1], self.nu, self.nv, dim or self.dim, self.gb
+            tables[0], tables[1], self.nu, self.nv, dim or self.dim, self.gb,
+            self._map_u, self._map_v,
         )
 
 

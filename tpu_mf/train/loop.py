@@ -250,17 +250,20 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
         runner = PallasEpochRunner(
             train_ds, tile_u=256, tile_v=256,
             batch=max(8192, cfg.batch_size), seed=cfg.seed,
-            n_plans=n_plans,
+            n_plans=n_plans, balance=True,
         )
     else:
         # 256-lane rows (dim >= 126) keep tile 256: measured at dim=128,
         # tile 256 = 186M/s vs tile 384 = 154M/s (the matmul/one-hot width
         # doubles with the lane count, so the tile sweet spot halves).
+        # balance=True: serpentine tile-load equalization recovers cell
+        # fill on zipfy marginals (calibrated ML-10M: 0.64 -> 0.745;
+        # rank-64 251 -> 299M/s, dim-128 170 -> 194M/s).
         tile = 256 if cfg.dim >= 126 else 512
         runner = PallasEpochRunner(
             train_ds, tile_u=tile, tile_v=tile,
             batch=max(1024, cfg.batch_size), seed=cfg.seed,
-            n_plans=n_plans,
+            n_plans=n_plans, balance=True,
         )
     return runner, slot_runner, switch_it
 
