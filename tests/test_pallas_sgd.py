@@ -222,3 +222,40 @@ def test_balance_roundtrip_and_training():
     out = bal.trim(tables)
     after = float(rmse(out, ds))
     assert np.isfinite(after) and after < before, (before, after)
+
+
+def test_saturation_inactive_when_cap_clears_and_stabilizes_heads():
+    """saturate=True is exact when eta * window-dups <= 0.2 (cap >= k), and
+    keeps training finite at warm etas on zipfy heads where the plain
+    kernel's k-fold stale accumulation blows up (the staleness-envelope
+    divergence, CLAUDE.md)."""
+    from tpu_mf.data.coo import synthetic_ratings
+    from tpu_mf.models.mf import rmse
+
+    # Small eta: cap = 0.2/0.01 = 20 >= any window dup here -> bit-exact.
+    ds = synthetic_ratings(400, 300, 20000, rank=3, noise=0.1, seed=31)
+    params = init_mf(jax.random.PRNGKey(11), ds.nu, ds.nv, 8, gb=3.0)
+    kw = dict(tile_u=128, tile_v=128, batch=256, seed=32,
+              mxu="float32", interpret=True)
+    a = PallasEpochRunner(ds, **kw)
+    b = PallasEpochRunner(ds, saturate=True, **kw)
+    ta, tb = a.pad(params), b.pad(params)
+    for it in range(2):
+        ta = a.epoch(ta, 0.01, 0.01, 3.0, epoch_idx=it)
+        tb = b.epoch(tb, 0.01, 0.01, 3.0, epoch_idx=it)
+    np.testing.assert_array_equal(np.asarray(ta[0]), np.asarray(tb[0]))
+    np.testing.assert_array_equal(np.asarray(ta[1]), np.asarray(tb[1]))
+
+    # Warm eta on a pure-zipf head: saturated run stays finite and sane.
+    zds = synthetic_ratings(400, 300, 40000, rank=3, noise=0.1, seed=33,
+                            zipf=1.0, zipf_q=2.0, zipf_u=1.0, zipf_uq=2.0)
+    zp = init_mf(jax.random.PRNGKey(12), zds.nu, zds.nv, 8, gb=3.0)
+    s = PallasEpochRunner(zds, saturate=True, tile_u=128, tile_v=128,
+                          batch=1024, seed=34, mxu="float32", interpret=True,
+                          theta_groups=8, phi_groups=8)
+    ts = s.pad(zp)
+    for it in range(3):
+        ts = s.epoch(ts, 0.1, 0.01, 3.0, epoch_idx=it)
+    out = s.trim(ts)
+    final = float(rmse(out, zds))
+    assert np.isfinite(final) and final < 2.0, final

@@ -210,6 +210,43 @@ def balance_cells(
     return ds2, mu, mv
 
 
+def pick_cell_geometry(
+    ds: RatingsCOO, tile_u: int = 256
+) -> Tuple[int, int, int]:
+    """(tile_u, tile_v, batch) for the balanced gen-1 cell plan.
+
+    With balance_cells equalizing per-tile loads, cell sizes concentrate at
+    c = n / (n_gu * n_gv), so fill is governed by three geometry terms the
+    chooser scores directly (validated on the calibrated ML-10M sweep,
+    PERF_NOTES round-3):
+      * per-cell ceil-to-sub padding — want sub ~ 1.12c (margin for the
+        residual cell-size spread; tighter margins measured net-negative
+        from spilled cells);
+      * 8-column group rounding — want 8 | n_gv (tv=224 on ML-10M: 48
+        columns/group exactly; the 0.875 rounding loss at tv=256 is gone);
+      * per-column fixed cost — amortized as 1/(1 + 94/sub) (the slot
+        kernel's refit constant), and sub must sit on the 128-sublane grid
+        (off-grid heights measured 13-16% slower, pick_sub).
+    Measured: (256, 224, 7168) 322.5M/s vs the pre-chooser (256, 256,
+    8192) 299.5M/s at rank 64 calibrated."""
+    n_gu = cdiv(ds.nu, tile_u)
+    n = len(ds)
+    best = (tile_u, 256, 8192)
+    best_score = -1.0
+    for tv in range(128, 385, 8):
+        n_gv = cdiv(ds.nv, tv)
+        gloss = n_gv / (cdiv(n_gv, 8) * 8)
+        c = n / (n_gu * n_gv)
+        for sub in (512, 640, 768, 896, 1024):
+            blocks = max(1, cdiv(int(c * 1.12), sub))
+            fill = c / (blocks * sub) * gloss
+            score = fill / (1.0 + 94.0 / sub)
+            if score > best_score:
+                best_score = score
+                best = (tile_u, tv, 8 * sub)
+    return best
+
+
 def fuse_rows(fac, bias, rows: int, lanes: int, side: str,
               idmap: np.ndarray | None = None) -> jax.Array:
     """Homogeneous fused rows. side="u": [fac | bias | 1 | 0...];
@@ -274,7 +311,7 @@ def _epoch_kernel(
     acc, sem,
     *, tile_u: int, tile_v: int, batch: int, dim: int, lanes: int, mxu_dtype,
     theta_groups: int = 8, phi_groups: int = 8, scatter_dg: bool = False,
-    mxu_pred: bool = False, mxu_apply: bool = False,
+    mxu_pred: bool = False, mxu_apply: bool = False, saturate: bool = False,
 ):
     eta = hyper_ref[0]
     lam = hyper_ref[1]
@@ -364,6 +401,22 @@ def _epoch_kernel(
             return jnp.dot(d, CB, preferred_element_type=jnp.float32)
         return jnp.sum(d * m_cnt, axis=1, keepdims=True)
 
+    if saturate:
+        cap = hyper_ref[3]
+
+    def sat_scale(k):
+        """Per-row window-step saturation: a row hit k times inside one
+        deferred-apply window accumulates k gradients computed at the SAME
+        stale point — the k*eta overshoot is what diverges on zipfy heads
+        (eta*k > ~2, CLAUDE.md staleness envelope). Scaling the window's
+        accumulated delta by min(1, cap/k) caps the per-row step at
+        cap*eta*grad — exact for k <= cap (non-head rows), a bounded
+        averaged step for heads. cap = 0.2/eta arrives via hyper[3] so it
+        relaxes automatically as eta decays; the reference's sequential
+        per-rating loop (src/mf.h:94-109) has no such window, so this is
+        the batched kernel's substitute for its implicit stability."""
+        return jnp.minimum(1.0, cap / jnp.maximum(k, 1.0))
+
     theta_mx = None
     d_theta_g = None
     pending = []
@@ -430,6 +483,8 @@ def _epoch_kernel(
             # The keep/one masks also re-pin the homogeneous lane to 1 and
             # clear the count scratch + scatter garbage.
             k_v = cnt_bcast(d_phi)
+            if saturate:
+                d_phi = d_phi * sat_scale(k_v)
             phi_out[pl.ds(off, tile_v), :] = (
                 phi * jnp.exp(k_v * lnv_v) + d_phi * m_keep_v
             )
@@ -443,6 +498,8 @@ def _epoch_kernel(
                     def _(off_=off_, phi_=phi_):
                         a = acc[pl.ds(off_, tile_v), :]
                         k_v = cnt_bcast(a)
+                        if saturate:
+                            a = a * sat_scale(k_v)
                         phi_out[pl.ds(off_, tile_v), :] = (
                             phi_ * jnp.exp(k_v * lnv_v) + a * m_keep_v
                         )
@@ -453,6 +510,8 @@ def _epoch_kernel(
         if k % tg_w == tg_w - 1:
             # User tile: apply the group's accumulated deltas and decay.
             k_u = cnt_bcast(d_theta_g)
+            if saturate:
+                d_theta_g = d_theta_g * sat_scale(k_u)
             theta = theta * jnp.exp(k_u * lnv_u) + d_theta_g * m_keep_u
 
     theta_out[:] = theta
@@ -464,7 +523,7 @@ def _epoch_kernel(
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu",
         "interpret", "theta_groups", "phi_groups", "scatter_dg",
-        "mxu_pred", "mxu_apply",
+        "mxu_pred", "mxu_apply", "saturate",
     ),
 )
 def _run_epoch(
@@ -472,7 +531,7 @@ def _run_epoch(
     gu, gv, uv, uvt, r, hyper, ap=None,
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
     theta_groups=8, phi_groups=8, scatter_dg=False,
-    mxu_pred=False, mxu_apply=False,
+    mxu_pred=False, mxu_apply=False, saturate=False,
 ):
     assert theta_groups in (1, 2, 4, 8), (
         f"theta_groups must divide the 8 lane columns, got {theta_groups}"
@@ -493,7 +552,7 @@ def _run_epoch(
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, lanes=lanes,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
         phi_groups=phi_groups, scatter_dg=scatter_dg,
-        mxu_pred=mxu_pred, mxu_apply=mxu_apply,
+        mxu_pred=mxu_pred, mxu_apply=mxu_apply, saturate=saturate,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -586,7 +645,12 @@ class PallasEpochRunner:
         mxu_pred: bool = True,
         mxu_apply: bool = False,
         balance: bool = False,
+        saturate: bool = False,
     ):
+        # saturate: per-row window-step cap min(1, (0.2/eta)/k) at apply —
+        # makes the fused kernel stable at warm etas on zipfy heads where
+        # the staleness envelope (eta * window dups <= 0.2) cannot hold.
+        self.saturate = saturate
         self.scatter_dg = scatter_dg
         # balance: serpentine per-tile load equalization (balance_cells) —
         # recovers cell-plan fill on zipfy marginals; exact (pad/trim
@@ -689,7 +753,8 @@ class PallasEpochRunner:
               epoch_idx: int = 0):
         """tables = (theta_ext, phi_ext) in the fused layout; epoch_idx
         rotates between the shuffled plans when n_plans > 1."""
-        hyper = jnp.asarray([eta, lam, gb], jnp.float32)
+        cap = max(1.0, 0.2 / max(eta, 1e-9))  # window-step cap (sat_scale)
+        hyper = jnp.asarray([eta, lam, gb, cap], jnp.float32)
         plan_i = epoch_idx % len(self.plans)
         pg = self.pick_phi_groups(eta)
         # plans share tile geometry, so n_gu/n_gv/NB may differ only in NB —
@@ -703,6 +768,7 @@ class PallasEpochRunner:
             theta_groups=self.pick_theta_groups(eta),
             phi_groups=pg, scatter_dg=self.scatter_dg,
             mxu_pred=self.mxu_pred, mxu_apply=self.mxu_apply,
+            saturate=self.saturate,
         )
 
     def pad(self, params: MFParams):

@@ -247,23 +247,29 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
         # round-2 mega-resident t384 pick; removing the VPU pred rowsum
         # shifts the balance to the matmuls, so the tile sweet spot drops
         # from 384 to 256 — benchmarks/sweep_mxupred{,2,3}.py).
+        from tpu_mf.ops.pallas_sgd import pick_cell_geometry
+
+        tu, tv, b = pick_cell_geometry(train_ds)
         runner = PallasEpochRunner(
-            train_ds, tile_u=256, tile_v=256,
-            batch=max(8192, cfg.batch_size), seed=cfg.seed,
-            n_plans=n_plans, balance=True,
+            train_ds, tile_u=tu, tile_v=tv, batch=b, seed=cfg.seed,
+            n_plans=n_plans, balance=True, saturate=True,
         )
     else:
         # 256-lane rows (dim >= 126) keep tile 256: measured at dim=128,
         # tile 256 = 186M/s vs tile 384 = 154M/s (the matmul/one-hot width
         # doubles with the lane count, so the tile sweet spot halves).
-        # balance=True: serpentine tile-load equalization recovers cell
-        # fill on zipfy marginals (calibrated ML-10M: 0.64 -> 0.745;
-        # rank-64 251 -> 299M/s, dim-128 170 -> 194M/s).
-        tile = 256 if cfg.dim >= 126 else 512
+        # balance + geometry chooser + per-row window-step saturation:
+        # fill-tuned tiles (8 | n_gv, sub ~ 1.12*mean cell) and stability
+        # at warm etas on zipfy heads (PERF_NOTES round-3 closers).
+        if cfg.dim >= 126:
+            from tpu_mf.ops.pallas_sgd import pick_cell_geometry
+
+            tu, tv, b = pick_cell_geometry(train_ds)
+        else:
+            tu, tv, b = 512, 512, max(1024, cfg.batch_size)
         runner = PallasEpochRunner(
-            train_ds, tile_u=tile, tile_v=tile,
-            batch=max(1024, cfg.batch_size), seed=cfg.seed,
-            n_plans=n_plans, balance=True,
+            train_ds, tile_u=tu, tile_v=tv, batch=b, seed=cfg.seed,
+            n_plans=n_plans, balance=True, saturate=True,
         )
     return runner, slot_runner, switch_it
 
