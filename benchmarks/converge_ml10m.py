@@ -42,7 +42,10 @@ import numpy as np
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--eta", type=float, default=0.015)
+    # Reference default eta (main.cc:100). Window-step saturation keeps the
+    # production kernels finite here even on the zipfy heads; measured
+    # crossing at 0.02 = epoch 7 (best 0.832), at 0.015 = epoch 8.
+    ap.add_argument("--eta", type=float, default=0.02)
     ap.add_argument("--lam", type=float, default=5e-3)
     ap.add_argument("--gam", type=float, default=0.3)
     ap.add_argument("--dim", type=int, default=64)
@@ -85,10 +88,14 @@ def main() -> int:
 
     on_tpu = jax.default_backend() != "cpu"
     if on_tpu:
-        from tpu_mf.ops.pallas_sgd import PallasEpochRunner
+        # The PRODUCTION kernel stack (balance + geometry chooser + window
+        # saturation + slot switching), so the curve certifies what users
+        # actually run.
+        from tpu_mf.train.loop import _pick_mf_runners
 
-        runner = PallasEpochRunner(train, tile_u=512, tile_v=512,
-                                   batch=cfg.batch_size, seed=1, n_plans=2)
+        runner, slot_runner, switch_it = _pick_mf_runners(
+            cfg, train, params, lambda m: print(m, flush=True)
+        )
         tables = runner.pad(params)
     else:  # CPU smoke path (tiny --iters only)
         from tpu_mf.ops.sgd import sgd_epoch
@@ -101,6 +108,10 @@ def main() -> int:
         eta = cfg.eta_at(it)
         t0 = time.perf_counter()
         if on_tpu:
+            if (slot_runner is not None and it >= switch_it
+                    and runner is not slot_runner):
+                tables = slot_runner.pad(runner.trim(tables))
+                runner = slot_runner
             tables = runner.epoch(tables, eta, cfg.lam, float(gb),
                                   epoch_idx=it - 1)
             _ = float(jnp.sum(tables[0]))

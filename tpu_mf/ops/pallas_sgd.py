@@ -734,7 +734,8 @@ class PallasEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._dup_max[g] <= 0.2:
                 return g
-        warn_window_envelope("blocked", "theta", eta, self._dup_max[8],
+        if not getattr(self, 'saturate', False):
+            warn_window_envelope("blocked", "theta", eta, self._dup_max[8],
                              self._warned)
         return 8
 
@@ -745,7 +746,8 @@ class PallasEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._vdup_max[g] <= 0.2:
                 return g
-        warn_window_envelope("blocked", "phi", eta, self._vdup_max[8],
+        if not getattr(self, 'saturate', False):
+            warn_window_envelope("blocked", "phi", eta, self._vdup_max[8],
                              self._warned)
         return 8
 

@@ -115,7 +115,7 @@ def _mega_kernel(
     acc, sem_t, sem_p,
     *, tile_u: int, tile_v: int, batch: int, dim: int, pack: int, mega: int,
     mxu_dtype, theta_groups: int, phi_groups: int, scatter_dg: bool = False,
-    mxu_pred: bool = False,
+    mxu_pred: bool = False, saturate: bool = False,
 ):
     P = pack
     m = LANES // P
@@ -125,6 +125,15 @@ def _mega_kernel(
     eta = hyper_ref[0]
     lam = hyper_ref[1]
     gb = hyper_ref[2]
+    if saturate:
+        cap = hyper_ref[3]
+
+    def sat(d, k):
+        """Per-row window-step saturation (pallas_sgd.sat_scale)."""
+        if not saturate:
+            return d
+        return d * jnp.minimum(1.0, cap / jnp.maximum(k, 1.0))
+
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -165,11 +174,13 @@ def _mega_kernel(
         ones_mx = jnp.ones((LANES, LANES), mxu_dtype)
 
     def apply_u(tab, kc, d):
+        d = sat(d, kc)
         if P == 1:
             return tab * jnp.exp(kc * (ln_lameta * m_keep_u)) + d * m_keep_u
         return tab * jnp.exp(kc * ln_lameta) + d * m_keep
 
     def apply_v(tab, kc, d):
+        d = sat(d, kc)
         if P == 1:
             return tab * jnp.exp(kc * (ln_lameta * m_keep_v)) + d * m_keep_v
         return tab * jnp.exp(kc * ln_lameta) + d * m_keep
@@ -312,7 +323,7 @@ def _mega_kernel(
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "pack", "mega", "n_gu", "n_gv",
         "mxu", "interpret", "theta_groups", "phi_groups", "scatter_dg",
-        "mxu_pred",
+        "mxu_pred", "saturate",
     ),
 )
 def _run_mega_epoch(
@@ -320,7 +331,7 @@ def _run_mega_epoch(
     gu, gv, ap, uv, uvt, r, hyper,
     *, tile_u, tile_v, batch, dim, pack, mega, n_gu, n_gv, mxu="bfloat16",
     interpret=False, theta_groups=8, phi_groups=8, scatter_dg=False,
-    mxu_pred=False,
+    mxu_pred=False, saturate=False,
 ):
     assert theta_groups in (1, 2, 4, 8), theta_groups
     assert phi_groups in (1, 2, 4, 8), phi_groups
@@ -336,6 +347,7 @@ def _run_mega_epoch(
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, pack=pack,
         mega=mega, mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
         phi_groups=phi_groups, scatter_dg=scatter_dg, mxu_pred=mxu_pred,
+        saturate=saturate,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -403,7 +415,9 @@ class MegaEpochRunner:
         mega: int | None = None,
         scatter_dg: bool = False,
         mxu_pred: bool | None = None,
+        saturate: bool = False,
     ):
+        self.saturate = saturate
         self.scatter_dg = scatter_dg
         if pack is None:
             assert dim is not None, "pass dim= or pack="
@@ -473,7 +487,8 @@ class MegaEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._dup_max[g] <= 0.2:
                 return g
-        warn_window_envelope("mega", "theta", eta, self._dup_max[8],
+        if not getattr(self, 'saturate', False):
+            warn_window_envelope("mega", "theta", eta, self._dup_max[8],
                              self._warned)
         return 8
 
@@ -484,13 +499,15 @@ class MegaEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._vdup_max[g] <= 0.2:
                 return g
-        warn_window_envelope("mega", "phi", eta, self._vdup_max[8],
+        if not getattr(self, 'saturate', False):
+            warn_window_envelope("mega", "phi", eta, self._vdup_max[8],
                              self._warned)
         return 8
 
     def epoch(self, tables, eta: float, lam: float, gb: float,
               epoch_idx: int = 0):
-        hyper = jnp.asarray([eta, lam, gb], jnp.float32)
+        cap = max(1.0, 0.2 / max(eta, 1e-9))
+        hyper = jnp.asarray([eta, lam, gb, cap], jnp.float32)
         plan_i = epoch_idx % len(self.plans)
         pg = self.pick_phi_groups(eta)
         gu, gv, uv, uvt, r = self.devs[plan_i]
@@ -503,7 +520,7 @@ class MegaEpochRunner:
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
             phi_groups=pg, scatter_dg=self.scatter_dg,
-            mxu_pred=self.mxu_pred,
+            mxu_pred=self.mxu_pred, saturate=self.saturate,
         )
 
     def pad(self, params: MFParams):

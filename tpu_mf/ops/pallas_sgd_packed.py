@@ -236,6 +236,7 @@ def _packed_epoch_kernel(
     acc, sem,
     *, tile_u: int, tile_v: int, batch: int, dim: int, pack: int,
     mxu_dtype, theta_groups: int = 8, phi_groups: int = 8,
+    saturate: bool = False,
 ):
     P = pack
     m = LANES // P
@@ -245,6 +246,16 @@ def _packed_epoch_kernel(
     eta = hyper_ref[0]
     lam = hyper_ref[1]
     gb = hyper_ref[2]
+    if saturate:
+        cap = hyper_ref[3]
+
+    def sat(d, k):
+        """Per-row window-step saturation (see pallas_sgd.sat_scale): the
+        accumulated window delta is capped at cap*eta*grad per (row, slot)
+        via the count lanes already computed for the geometric decay."""
+        if not saturate:
+            return d
+        return d * jnp.minimum(1.0, cap / jnp.maximum(k, 1.0))
 
     i = pl.program_id(0)
     prev = jnp.maximum(i - 1, 0)
@@ -354,7 +365,7 @@ def _packed_epoch_kernel(
             # (ops/common.py semantics).
             k_v = jnp.dot(d_phi, CB, preferred_element_type=jnp.float32)
             phi_out[pl.ds(off, rows_v), :] = (
-                phi * jnp.exp(k_v * ln_lameta) + d_phi * m_keep
+                phi * jnp.exp(k_v * ln_lameta) + sat(d_phi, k_v) * m_keep
             )
         else:
             # Deferred item apply: all columns of a phi group gather from
@@ -377,7 +388,8 @@ def _packed_epoch_kernel(
                             a, CB, preferred_element_type=jnp.float32
                         )
                         phi_out[pl.ds(off_, rows_v), :] = (
-                            phi_ * jnp.exp(k_v * ln_lameta) + a * m_keep
+                            phi_ * jnp.exp(k_v * ln_lameta)
+                            + sat(a, k_v) * m_keep
                         )
                         acc[pl.ds(off_, rows_v), :] = jnp.zeros_like(a)
 
@@ -385,7 +397,8 @@ def _packed_epoch_kernel(
 
         if k % tg_w == tg_w - 1:
             k_u = jnp.dot(d_theta_g, CB, preferred_element_type=jnp.float32)
-            theta = theta * jnp.exp(k_u * ln_lameta) + d_theta_g * m_keep
+            theta = (theta * jnp.exp(k_u * ln_lameta)
+                     + sat(d_theta_g, k_u) * m_keep)
 
     theta_out[:] = theta
 
@@ -395,14 +408,14 @@ def _packed_epoch_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "pack", "n_gu", "n_gv", "mxu",
-        "interpret", "theta_groups", "phi_groups",
+        "interpret", "theta_groups", "phi_groups", "saturate",
     ),
 )
 def _run_packed_epoch(
     theta_p, phi_p,
     gu, gv, ap, uv, uvt, r, hyper,
     *, tile_u, tile_v, batch, dim, pack, n_gu, n_gv, mxu="bfloat16",
-    interpret=False, theta_groups=8, phi_groups=8,
+    interpret=False, theta_groups=8, phi_groups=8, saturate=False,
 ):
     assert theta_groups in (1, 2, 4, 8), theta_groups
     assert phi_groups in (1, 2, 4, 8), phi_groups
@@ -416,6 +429,7 @@ def _run_packed_epoch(
         _packed_epoch_kernel,
         tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim, pack=pack,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
+        saturate=saturate,
         phi_groups=phi_groups,
     )
     sub = batch // 8
@@ -483,7 +497,10 @@ class PackedEpochRunner:
         n_plans: int = 1,
         dim: int | None = None,
         pack: int | None = None,
+        saturate: bool = False,
     ):
+        # Per-row window-step saturation (pallas_sgd.sat_scale semantics).
+        self.saturate = saturate
         if pack is None:
             assert dim is not None, "pass dim= or pack="
             pack = packing_factor(dim)
@@ -548,7 +565,8 @@ class PackedEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._dup_max[g] <= 0.2:
                 return g
-        warn_window_envelope("packed", "theta", eta, self._dup_max[8],
+        if not getattr(self, 'saturate', False):
+            warn_window_envelope("packed", "theta", eta, self._dup_max[8],
                              self._warned)
         return 8
 
@@ -567,13 +585,15 @@ class PackedEpochRunner:
         for g in (1, 2, 4, 8):
             if eta * self._vdup_max[g] <= 0.2:
                 return g
-        warn_window_envelope("packed", "phi", eta, self._vdup_max[8],
+        if not getattr(self, 'saturate', False):
+            warn_window_envelope("packed", "phi", eta, self._vdup_max[8],
                              self._warned)
         return 8
 
     def epoch(self, tables, eta: float, lam: float, gb: float,
               epoch_idx: int = 0):
-        hyper = jnp.asarray([eta, lam, gb], jnp.float32)
+        cap = max(1.0, 0.2 / max(eta, 1e-9))
+        hyper = jnp.asarray([eta, lam, gb, cap], jnp.float32)
         plan_i = epoch_idx % len(self.plans)
         pg = self.pick_phi_groups(eta)
         gu, gv, uv, uvt, r = self.devs[plan_i]
@@ -586,6 +606,7 @@ class PackedEpochRunner:
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
             phi_groups=pg,
+            saturate=self.saturate,
         )
 
     def pad(self, params: MFParams):

@@ -424,7 +424,7 @@ def _slot_kernel(
     *refs,
     tile_u: int, tile_v: int, sub: int, dim: int, pack: int,
     mxu_dtype, theta_groups: int, phi_groups: int, scatter_dg: bool = False,
-    gv_vmem: bool = False,
+    gv_vmem: bool = False, saturate: bool = False,
 ):
     # Two metadata layouts: per-batch gv/ap normally ride SMEM scalar
     # prefetch (fast scalar reads), but a huge plan's (nb*8) int32 arrays
@@ -444,6 +444,16 @@ def _slot_kernel(
     eta = hyper_ref[0]
     lam = hyper_ref[1]
     gb = hyper_ref[2]
+    if saturate:
+        cap = hyper_ref[3]
+
+    def sat(d, k):
+        """Per-(row, slot) window-step saturation (pallas_sgd.sat_scale):
+        the slot column window is sub*P slots, so warm etas on zipfy heads
+        need the same delta cap as the gen-1/packed kernels."""
+        if not saturate:
+            return d
+        return d * jnp.minimum(1.0, cap / jnp.maximum(k, 1.0))
 
     i = pl.program_id(0)
     prev = jnp.maximum(i - 1, 0)
@@ -618,7 +628,7 @@ def _slot_kernel(
                 d_phi * MS_v, CB, preferred_element_type=jnp.float32
             )
             phi_out[pl.ds(off, tile_v), :] = (
-                phi * jnp.exp(k_v * lnv_v) + d_phi * MK_v
+                phi * jnp.exp(k_v * lnv_v) + sat(d_phi, k_v) * MK_v
             )
         else:
             pending.append((k, off, phi, d_phi))
@@ -638,7 +648,7 @@ def _slot_kernel(
                             a, CB, preferred_element_type=jnp.float32
                         )
                         phi_out[pl.ds(off_, tile_v), :] = (
-                            phi_ * jnp.exp(k_v * lnv_v) + a * MK_v
+                            phi_ * jnp.exp(k_v * lnv_v) + sat(a, k_v) * MK_v
                         )
                         acc[pl.ds(off_, tile_v), :] = jnp.zeros_like(a)
 
@@ -648,7 +658,7 @@ def _slot_kernel(
             k_u = jnp.dot(
                 d_theta_g * MC_u, CB, preferred_element_type=jnp.float32
             )
-            theta = theta * jnp.exp(k_u * lnv_u) + d_theta_g * MK_u
+            theta = theta * jnp.exp(k_u * lnv_u) + sat(d_theta_g, k_u) * MK_u
 
     theta_out[:] = theta
 
@@ -658,7 +668,7 @@ def _slot_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
-        "interpret", "theta_groups", "phi_groups", "scatter_dg",
+        "interpret", "theta_groups", "phi_groups", "scatter_dg", "saturate",
     ),
 )
 def _run_slot_epoch(
@@ -666,6 +676,7 @@ def _run_slot_epoch(
     gu, gv, ap, uv, uvt, r, hyper,
     *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
     interpret=False, theta_groups=8, phi_groups=8, scatter_dg=False,
+    saturate=False,
 ):
     assert theta_groups in (1, 2, 4, 8), theta_groups
     assert phi_groups in (1, 2, 4, 8), phi_groups
@@ -683,6 +694,7 @@ def _run_slot_epoch(
         tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
         phi_groups=phi_groups, scatter_dg=scatter_dg, gv_vmem=gv_vmem,
+        saturate=saturate,
     )
     lanes8 = 8 * pack
     scratch = [
@@ -785,7 +797,10 @@ class SlotEpochRunner:
         pack: int | None = None,
         scatter_dg: bool = False,
         balance: bool = False,
+        saturate: bool = False,
     ):
+        # Per-(row, slot) window-step saturation (pallas_sgd.sat_scale).
+        self.saturate = saturate
         if pack is None:
             assert dim is not None, "pass dim= or pack="
             pack = slot_packing_factor(dim)
@@ -910,7 +925,8 @@ class SlotEpochRunner:
 
     def epoch(self, tables, eta: float, lam: float, gb: float,
               epoch_idx: int = 0):
-        hyper = jnp.asarray([eta, lam, gb], jnp.float32)
+        cap = max(1.0, 0.2 / max(eta, 1e-9))
+        hyper = jnp.asarray([eta, lam, gb, cap], jnp.float32)
         plan_i = epoch_idx % len(self.plans)
         pg = self.pick_phi_groups(eta)
         gu, gv, uv, uvt, r = self.devs[plan_i]
@@ -923,6 +939,7 @@ class SlotEpochRunner:
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
             phi_groups=pg, scatter_dg=self.scatter_dg,
+            saturate=self.saturate,
         )
 
     def pad(self, params: MFParams):

@@ -217,7 +217,7 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
             # marginals (calibrated ML-10M: 0.48 -> 0.75 measured).
             slot_runner = SlotEpochRunner(
                 train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
-                balance=True,
+                balance=True, saturate=True,
             )
             for it in range(start + 1, cfg.iters + 1):
                 if slot_runner.envelope_ok(cfg.eta_at(it)):
@@ -239,7 +239,7 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
         # covers the epochs before the slot envelope clears (or all of them).
         runner = PackedEpochRunner(
             train_ds, batch=max(8192, cfg.batch_size), seed=cfg.seed,
-            n_plans=n_plans, dim=cfg.dim,
+            n_plans=n_plans, dim=cfg.dim, saturate=True,
         )
     elif cfg.dim <= 126:
         # Mid rank (63..126): blocked gen-1 at tile 256 with the MXU-side
