@@ -227,7 +227,13 @@ def main():
     tables = runner.pad(params)
     runner.dim = DIM
     hyper = jnp.asarray([0.02, 5e-3, float(params.gb)], jnp.float32)
-    gu, gv, uv, uvt, r = runner.dev
+    # runner.dev now stores the byte-plane stream; this harness keeps the
+    # legacy split-stream kernel, so rebuild its inputs from the plan.
+    gu, gv = runner.dev[0], runner.dev[1]
+    uv_np = runner.plan.u * UV_BASE + runner.plan.v
+    uv = jnp.asarray(uv_np)
+    uvt = jnp.asarray(np.swapaxes(uv_np, 1, 2).copy())
+    r = jnp.asarray(runner.plan.r)
     ap = runner.flags[0][8]
     kw = dict(tile_u=TILE, tile_v=TILE, batch=runner.batch, dim=DIM,
               n_gu=runner.plan.n_gu, n_gv=runner.plan.n_gv, variant=ABL,

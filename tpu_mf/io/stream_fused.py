@@ -37,9 +37,22 @@ from tpu_mf.ops.pallas_sgd import (
     pad_params,
     prepare_cells,
     split_params,
+    stream_planes,
 )
 
 REC = np.dtype([("u", "<i4"), ("v", "<i4"), ("r", "<f4")])
+
+
+def _jit_planes(uv, r):
+    """Device-side byte-plane build (jitted once per shape)."""
+    import jax
+
+    global _PLANES_FN
+    try:
+        return _PLANES_FN(uv, r)
+    except NameError:
+        _PLANES_FN = jax.jit(stream_planes)
+        return _PLANES_FN(uv, r)
 
 
 class ShardStore:
@@ -227,13 +240,12 @@ class FusedStreamTrainer:
                     continue
                 arrs = built
             gu, gv, uv, r = arrs
-            uv_d = jnp.asarray(uv)
-            # The transposed id stream is DERIVED on device (one XLA
-            # transpose) instead of stored/transferred — host->device bytes
-            # are the streamed path's bottleneck (1/3 saved).
+            # The kernel consumes ONE bf16 byte-plane stream; build it ON
+            # DEVICE (XLA ops) so host->device bytes stay at the compact
+            # int32/f32 uploads (h2d is the streamed path's bottleneck).
             yield (
-                jnp.asarray(gu), jnp.asarray(gv), uv_d,
-                jnp.swapaxes(uv_d, 1, 2), jnp.asarray(r),
+                jnp.asarray(gu), jnp.asarray(gv),
+                _jit_planes(jnp.asarray(uv), jnp.asarray(r)),
             )
 
     def pad(self, params: MFParams):

@@ -29,12 +29,15 @@ import tempfile
 from functools import lru_cache
 from typing import Iterator, Optional
 
+import ml_dtypes
 import numpy as np
 
 from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.data.streamfmt import iter_ratings, scan_stats
 from tpu_mf.models.mf import MFParams
 from tpu_mf.ops.pallas_sgd import UV_BASE, cdiv, prepare_cells
+
+ml_bf16 = ml_dtypes.bfloat16
 
 REC = np.dtype([("u", "<i4"), ("v", "<i4"), ("r", "<f4")])
 
@@ -55,9 +58,9 @@ def _substep_fn(
     spec_repl = PartitionSpec()
     perm = [((i + 1) % n_dev, i) for i in range(n_dev)]
 
-    def substep(theta_ext, phi_ext, gu, gv, uv, uvt, r, hyper):
+    def substep(theta_ext, phi_ext, gu, gv, pb, hyper):
         theta_ext, phi_ext = pallas_sgd._run_epoch(
-            theta_ext, phi_ext, gu[0], gv[0], uv[0], uvt[0], r[0], hyper,
+            theta_ext, phi_ext, gu[0], gv[0], pb[0], hyper,
             tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
             n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
             mxu_pred=True,
@@ -69,7 +72,7 @@ def _substep_fn(
         jax.shard_map(
             substep,
             mesh=mesh,
-            in_specs=(spec_rows, spec_rows) + (spec_data,) * 5 + (spec_repl,),
+            in_specs=(spec_rows, spec_rows) + (spec_data,) * 3 + (spec_repl,),
             out_specs=(spec_rows, spec_rows),
             check_vma=False,
         ),
@@ -247,13 +250,22 @@ class ShardedStreamTrainer:
             shard = row_sharding(self.mesh)
             import jax
 
-            uv_d = jax.device_put(jnp.asarray(uv), shard)
+            # The kernel consumes one bf16 byte-plane stream per batch
+            # (pallas_sgd.stream_planes); build per-device planes on HOST
+            # (vectorized numpy bit ops) so each device receives only its
+            # own shard's bytes.
+            P, NB, subb, _ = uv.shape
+            rb = r.view(np.int32)
+            planes = [(uv >> s) & 255 for s in (0, 8, 16)]
+            planes += [(rb >> s) & 255 for s in (0, 8, 16, 24)]
+            pb = np.concatenate(
+                [np.swapaxes(p, 2, 3).astype(ml_bf16) for p in planes],
+                axis=2,
+            )  # (P, NB, 56, sub)
             yield (
                 jax.device_put(jnp.asarray(gu), shard),
                 jax.device_put(jnp.asarray(gv), shard),
-                uv_d,
-                jnp.swapaxes(uv_d, 2, 3),
-                jax.device_put(jnp.asarray(r), shard),
+                jax.device_put(jnp.asarray(pb), shard),
             )
 
     def pad(self, params: MFParams):

@@ -298,11 +298,39 @@ UV_SHIFT = 11          # packed id stream: u << 11 | v; tiles must be <= 1024
 UV_BASE = 1 << UV_SHIFT
 
 
+def stream_planes(uv, r):
+    """(nb, sub, 8) uv/r -> ONE dense bf16 byte-plane stream (nb, 56, sub).
+
+    The kernel's (sub, 8)-minor stream blocks pad 8 -> 128 lanes, so their
+    strided DMA dominated the per-step floor (benchmarks/probe_floor.py:
+    1.7us of 3.9us at t256/B7168). Mosaic has no sublane<->lane transpose
+    and a single f32 transpose-matmul is bf16x3-decomposed (drops integer
+    bits above ~2^16), so the streams ship TRANSPOSED as 7 byte planes —
+    3 for the 22-bit packed ids, 4 for the rating f32 BIT PATTERN — each
+    0..255 and therefore bf16-exact. One in-kernel matmul against a
+    {1, 256, 65536}-weighted block-diagonal constant rebuilds (sub, 8)
+    integer views whose every value is < 2^22, exact regardless of MXU
+    accumulation order; the rating bits then reassemble with two shifts
+    and a bitcast. Runs as XLA ops so stream paths can build planes on
+    device from the compact int32/f32 uploads."""
+    import jax
+    import jax.numpy as jnp
+
+    uvt = jnp.swapaxes(uv, 1, 2)
+    rt = jnp.swapaxes(jax.lax.bitcast_convert_type(r, jnp.int32), 1, 2)
+    planes = [(uvt >> s) & 255 for s in (0, 8, 16)]
+    planes += [(rt >> s) & 255 for s in (0, 8, 16, 24)]
+    return jnp.concatenate(
+        [p.astype(jnp.bfloat16) for p in planes], axis=1
+    )
+
+
 def _epoch_kernel(
     # scalar prefetch
     gu_ref, gv_ref, ap_ref, hyper_ref,
-    # blocked inputs (uv = u*2048+v packed ids; uvt = host-transposed copy)
-    uv_ref, uvt_ref, r_ref, theta_ref,
+    # blocked input: ONE dense bf16 byte-plane stream (56, B/8) carrying
+    # the transposed packed ids and rating bits (see stream_planes).
+    pb_ref, theta_ref,
     # HBM-resident input (aliased with the resident output)
     phi_hbm,
     # outputs
@@ -312,6 +340,7 @@ def _epoch_kernel(
     *, tile_u: int, tile_v: int, batch: int, dim: int, lanes: int, mxu_dtype,
     theta_groups: int = 8, phi_groups: int = 8, scatter_dg: bool = False,
     mxu_pred: bool = False, mxu_apply: bool = False, saturate: bool = False,
+    batch_theta: bool = False,
 ):
     eta = hyper_ref[0]
     lam = hyper_ref[1]
@@ -339,16 +368,50 @@ def _epoch_kernel(
 
     sub = batch // 8
     # Packed ids: u in bits 11+, v in bits 0-10 (tile-local, sentinel = tile
-    # size). One int32 stream instead of four id streams and a weight stream
-    # — the (sub, 8)-minor blocks DMA strided (8 -> 128 lane padding), so
-    # stream COUNT dominates the per-step floor.
-    uv3 = uv_ref[0]   # (B/8, 8)
-    uvt3 = uvt_ref[0]  # (8, B/8) host-transposed: uvt3[k, i] == uv3[i, k]
+    # size). Decode the byte-plane stream (stream_planes): the transposed
+    # (8, sub) id views rebuild with two cheap FMAs; the (sub, 8) views the
+    # mid-chain wants come from ONE matmul against a block-diagonal
+    # {1,256,65536} weight constant — every output is an integer < 2^22,
+    # exact in f32 regardless of MXU accumulation order (unlike a plain f32
+    # transpose matmul, which is bf16x3-decomposed and corrupted the ids).
+    pb = pb_ref[0]     # (56, B/8) bf16: planes 0-2 uv bytes, 3-6 r bits
+    uvt3 = (
+        pb[0:8].astype(jnp.float32)
+        + pb[8:16].astype(jnp.float32) * 256.0
+        + pb[16:24].astype(jnp.float32) * 65536.0
+    ).astype(jnp.int32)  # (8, B/8) transposed packed ids
+    pi = jax.lax.broadcasted_iota(jnp.int32, (56, 24), 0)
+    pj = jax.lax.broadcasted_iota(jnp.int32, (56, 24), 1)
+    ppl, prow = pi // 8, pi % 8
+    # cols 0-7: uv = plane0 + 256*plane1 + 65536*plane2
+    # cols 8-15: r lo16 = plane3 + 256*plane4
+    # cols 16-23: r hi16 = plane5 + 256*plane6
+    w_uv = ((pj < 8) & (prow == pj) & (ppl <= 2)).astype(jnp.float32) * (
+        (1 << (8 * jnp.minimum(ppl, 2))).astype(jnp.float32)
+    )
+    w_lo = (((pj >= 8) & (pj < 16)) & (prow == pj - 8)
+            & ((ppl == 3) | (ppl == 4))).astype(jnp.float32) * (
+        (1 << (8 * jnp.clip(ppl - 3, 0, 1))).astype(jnp.float32)
+    )
+    w_hi = ((pj >= 16) & (prow == pj - 16)
+            & ((ppl == 5) | (ppl == 6))).astype(jnp.float32) * (
+        (1 << (8 * jnp.clip(ppl - 5, 0, 1))).astype(jnp.float32)
+    )
+    W = (w_uv + w_lo + w_hi).astype(mxu_dtype)
+    dec = jax.lax.dot_general(
+        pb.astype(mxu_dtype), W, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B/8, 24): [uv | r_lo16 | r_hi16]
+    uv3 = dec[:, 0:8].astype(jnp.int32)
+    r3 = pltpu.bitcast(
+        dec[:, 8:16].astype(jnp.int32)
+        | (dec[:, 16:24].astype(jnp.int32) << 16),
+        jnp.float32,
+    )
     u3 = uv3 >> UV_SHIFT
     v3 = uv3 & (UV_BASE - 1)
     ut3 = uvt3 >> UV_SHIFT
     vt3 = uvt3 & (UV_BASE - 1)
-    r3 = r_ref[0]
     w3 = (uv3 != tile_u * UV_BASE + tile_v).astype(jnp.float32)
 
     theta = theta_out[:]                   # (TILE_U, lanes) fp32 state
@@ -420,8 +483,25 @@ def _epoch_kernel(
     theta_mx = None
     d_theta_g = None
     pending = []
+    tt = None
+    ohtu_list = []
+    rhsu_list = []
+    if batch_theta:
+        # theta_groups == 1: every column gathers from the SAME batch-start
+        # snapshot and the deltas apply once at batch end, so the 8 per-
+        # column gather/scatter matmuls are batchable into ONE (8sub, tile)
+        # gather and ONE (tile, 8sub) scatter — same flops, 1/8 the MXU
+        # dispatches, and the scatter's K order (column-major) matches the
+        # sequential accumulation order bit-for-bit.
+        theta_mx = theta.astype(mxu_dtype)
+        ohu_all = jnp.concatenate(
+            [(iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
+             for k in range(8)],
+            axis=0,
+        )                                        # (8*sub, TILE_U)
+        tt = jnp.dot(ohu_all, theta_mx, preferred_element_type=jnp.float32)
     for k in range(8):
-        if k % tg_w == 0:
+        if k % tg_w == 0 and not batch_theta:
             theta_mx = theta.astype(mxu_dtype)
             d_theta_g = jnp.zeros((tile_u, lanes), jnp.float32)
 
@@ -433,7 +513,8 @@ def _epoch_kernel(
         # (TILE, B/8) from the host-transposed ids, so every matmul
         # contracts over the lhs lane axis — Mosaic never transposes a
         # one-hot.
-        oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
+        if not batch_theta:
+            oh_u = (iota_u == u3[:, k : k + 1]).astype(mxu_dtype)
         oh_v = (iota_v == v3[:, k : k + 1]).astype(mxu_dtype)
         if not scatter_dg:
             oht_u = (iota_ut == ut3[k : k + 1, :]).astype(mxu_dtype)
@@ -441,7 +522,10 @@ def _epoch_kernel(
 
         # Fused gathers: factors, bias, and the homogeneous 1 in one MXU
         # pass per side.
-        t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
+        if batch_theta:
+            t = tt[k * sub : (k + 1) * sub, :]
+        else:
+            t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
         p = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
 
         # Homogeneous rows: rowsum(t*p) = t.p + bu*1 + 1*bv — no masks.
@@ -460,7 +544,11 @@ def _epoch_kernel(
         # writes into the opposite one-lane dies at the tile apply.
         rhs_u = (err * p + wk * m_cnt).astype(mxu_dtype)
         rhs_v = (err * t + wk * m_cnt).astype(mxu_dtype)
-        if scatter_dg:
+        if batch_theta:
+            ohtu_list.append(oht_u)
+            rhsu_list.append(rhs_u)
+            d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
+        elif scatter_dg:
             # Contract the sublane axis of the GATHER one-hots: no
             # transposed one-hot construction (halves the one-hot build).
             dg = (((0,), (0,)), ((), ()))
@@ -507,12 +595,24 @@ def _epoch_kernel(
 
                 pending = []
 
-        if k % tg_w == tg_w - 1:
+        if k % tg_w == tg_w - 1 and not batch_theta:
             # User tile: apply the group's accumulated deltas and decay.
             k_u = cnt_bcast(d_theta_g)
             if saturate:
                 d_theta_g = d_theta_g * sat_scale(k_u)
             theta = theta * jnp.exp(k_u * lnv_u) + d_theta_g * m_keep_u
+
+    if batch_theta:
+        # One batched scatter for the whole batch's user-side deltas.
+        ohtu_all = jnp.concatenate(ohtu_list, axis=1)   # (TILE_U, 8*sub)
+        rhsu_all = jnp.concatenate(rhsu_list, axis=0)   # (8*sub, lanes)
+        d_theta_g = jnp.dot(
+            ohtu_all, rhsu_all, preferred_element_type=jnp.float32
+        )
+        k_u = cnt_bcast(d_theta_g)
+        if saturate:
+            d_theta_g = d_theta_g * sat_scale(k_u)
+        theta = theta * jnp.exp(k_u * lnv_u) + d_theta_g * m_keep_u
 
     theta_out[:] = theta
 
@@ -523,24 +623,27 @@ def _epoch_kernel(
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu",
         "interpret", "theta_groups", "phi_groups", "scatter_dg",
-        "mxu_pred", "mxu_apply", "saturate",
+        "mxu_pred", "mxu_apply", "saturate", "batch_theta",
     ),
 )
 def _run_epoch(
     theta_ext, phi_ext,
-    gu, gv, uv, uvt, r, hyper, ap=None,
+    gu, gv, pb, hyper, ap=None,
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
     theta_groups=8, phi_groups=8, scatter_dg=False,
-    mxu_pred=False, mxu_apply=False, saturate=False,
+    mxu_pred=False, mxu_apply=False, saturate=False, batch_theta=False,
 ):
     assert theta_groups in (1, 2, 4, 8), (
         f"theta_groups must divide the 8 lane columns, got {theta_groups}"
     )
     assert phi_groups in (1, 2, 4, 8), phi_groups
+    assert not (batch_theta and (theta_groups != 1 or scatter_dg)), (
+        "batch_theta requires theta_groups=1 and transposed one-hots"
+    )
     assert max(tile_u, tile_v) < UV_BASE, (
         f"packed id streams need tiles < {UV_BASE}, got {tile_u}/{tile_v}"
     )
-    nb = uv.shape[0]
+    nb = pb.shape[0]
     check_smem_plan(nb)
     gv = gv.reshape(-1)  # (nb*8,) per-column item-tile indices
     if ap is None:  # apply flags unused when phi_groups == 8
@@ -553,15 +656,14 @@ def _run_epoch(
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
         phi_groups=phi_groups, scatter_dg=scatter_dg,
         mxu_pred=mxu_pred, mxu_apply=mxu_apply, saturate=saturate,
+        batch_theta=batch_theta,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,  # gu, gv, ap, hyper
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, ap, h: (i, 0, 0)),  # uv
-            pl.BlockSpec((1, 8, sub), lambda i, gu, gv, ap, h: (i, 0, 0)),  # uvt
-            pl.BlockSpec((1, sub, 8), lambda i, gu, gv, ap, h: (i, 0, 0)),  # r
+            pl.BlockSpec((1, 56, sub), lambda i, gu, gv, ap, h: (i, 0, 0)),  # planes
             pl.BlockSpec(
                 (tile_u, lanes), lambda i, gu, gv, ap, h: (gu[i], 0)
             ),                                                              # theta
@@ -585,16 +687,16 @@ def _run_epoch(
             jax.ShapeDtypeStruct((n_gu * tile_u, lanes), jnp.float32),
             jax.ShapeDtypeStruct((n_gv * tile_v, lanes), jnp.float32),
         ],
-        # operand indices include the 4 scalar-prefetch args: theta=7,
-        # phi=8 -> outputs 0, 1.
+        # operand indices include the 4 scalar-prefetch args: theta=5,
+        # phi=6 -> outputs 0, 1.
         # v5e has 128 MB of VMEM; the compiler's default 16 MB scoped limit
         # is too tight for the resident item table + unrolled temporaries.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        input_output_aliases={7: 0, 8: 1},
+        input_output_aliases={5: 0, 6: 1},
         interpret=interpret,
-    )(gu, gv, ap, hyper, uv, uvt, r, theta_ext, phi_ext)
+    )(gu, gv, ap, hyper, pb, theta_ext, phi_ext)
     return theta_ext, phi_ext
 
 
@@ -706,12 +808,13 @@ class PallasEpochRunner:
         self.flags = []  # per plan: {phi_groups: (NB, 8) apply flags}
         for plan in self.plans:
             uv = plan.u * UV_BASE + plan.v  # one id stream (see kernel doc)
+            # ONE dense bf16 byte-plane stream per plan (stream_planes):
+            # no 8->128 lane-pad DMA (probe_floor.py: -1.7us/step) and 1/4
+            # the device-resident plan bytes. Built on device (XLA ops).
             self.devs.append((
                 jnp.asarray(plan.gu),
                 jnp.asarray(plan.gv),
-                jnp.asarray(uv),
-                jnp.asarray(np.swapaxes(uv, 1, 2).copy()),
-                jnp.asarray(plan.r),
+                stream_planes(jnp.asarray(uv), jnp.asarray(plan.r)),
             ))
             self.flags.append({
                 g: jnp.asarray(_apply_flags(plan.gv, g)) for g in (1, 2, 4)

@@ -159,16 +159,16 @@ def _sharded_epoch_fn(
     spec_repl = PartitionSpec()
     perm = [((i + 1) % n_dev, i) for i in range(n_dev)]
 
-    def epoch(theta_ext, phi_ext, gu, gv, uv, uvt, r, hyper):
+    def epoch(theta_ext, phi_ext, gu, gv, pb, hyper):
         # Local views: leading device axis of the data is size 1.
         gu, gv = gu[0], gv[0]          # (P, NB)
-        uv, uvt, r = uv[0], uvt[0], r[0]
+        pb = pb[0]
 
         def substep(carry, xs):
             theta_ext, phi_ext = carry
-            sgu, sgv, suv, suvt, sr = xs
+            sgu, sgv, spb = xs
             theta_ext, phi_ext = pallas_sgd._run_epoch(
-                theta_ext, phi_ext, sgu, sgv, suv, suvt, sr, hyper,
+                theta_ext, phi_ext, sgu, sgv, spb, hyper,
                 tile_u=tile_u, tile_v=tile_v, batch=batch, dim=dim,
                 n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
                 mxu_pred=True,
@@ -177,7 +177,7 @@ def _sharded_epoch_fn(
             return (theta_ext, phi_ext), None
 
         (theta_ext, phi_ext), _ = jax.lax.scan(
-            substep, (theta_ext, phi_ext), (gu, gv, uv, uvt, r)
+            substep, (theta_ext, phi_ext), (gu, gv, pb)
         )
         return theta_ext, phi_ext
 
@@ -185,7 +185,7 @@ def _sharded_epoch_fn(
         jax.shard_map(
             epoch,
             mesh=mesh,
-            in_specs=(spec_rows, spec_rows) + (spec_data,) * 5 + (spec_repl,),
+            in_specs=(spec_rows, spec_rows) + (spec_data,) * 3 + (spec_repl,),
             out_specs=(spec_rows, spec_rows),
             # pallas_call's ShapeDtypeStructs carry no varying-mesh-axes
             # metadata; skip the vma check for the kernel-in-shard_map case.
@@ -220,12 +220,16 @@ class ShardedPallasRunner:
         # The MF kernel consumes fused id streams (pallas_sgd.UV_BASE doc);
         # ShardedPlan keeps the split arrays for the SGLD/AdaptReg kernels.
         uv = self.splan.u * pallas_sgd.UV_BASE + self.splan.v
+        # Byte-plane stream (pallas_sgd.stream_planes; leading (P, S) axes
+        # flattened through the plane build, then restored).
+        P, S, NB, subb, _ = uv.shape
+        pb = jax.jit(pallas_sgd.stream_planes)(
+            uv.reshape(P * S * NB, subb, 8),
+            self.splan.r.reshape(P * S * NB, subb, 8),
+        ).reshape(P, S, NB, 56, subb)
         self.dev = tuple(
             jax.device_put(x, shard)
-            for x in (
-                self.splan.gu, self.splan.gv,
-                uv, np.swapaxes(uv, 3, 4).copy(), self.splan.r,
-            )
+            for x in (self.splan.gu, self.splan.gv, pb)
         )
 
     def pad(self, params: MFParams):
