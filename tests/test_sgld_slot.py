@@ -52,6 +52,7 @@ def test_slot_sgld_matches_xla_batchwise_temp0():
 
     runner = SlotSgldRunner(
         ds, sub=16, seed=1, mxu="float32", interpret=True, dim=8, tile=64,
+        noise_every=1,  # stamp-freshness assertions below need per-apply
     )
     tables = runner.pad(state)
     tables = runner.epoch(
@@ -191,6 +192,97 @@ def test_slot_sgld_converges_with_gibbs():
         )
     final = rmse(state.params, test)
     assert np.isfinite(final) and final < 0.8, f"slot SGLD diverged: {final}"
+
+
+def _run_rounds(runner, state, eta, rounds=3, temp=0.0, bound=1.0):
+    ntrain = runner.n_real
+    for rnd in range(1, rounds + 1):
+        scal = eta * ntrain * bound * float(state.lambda_r)
+        tables = runner.pad(state)
+        tables = runner.epoch(
+            tables, int(state.gcount),
+            (eta, temp, bound, scal, float(state.params.gb)),
+            noise_seed=rnd * 1000, epoch_idx=rnd - 1,
+        )
+        state = runner.unpack(state, tables)
+    return state
+
+
+def test_slot_sgld_saturate_noop_when_cap_clears():
+    """With eta small enough that cap = 0.2/scal exceeds every batch
+    duplicate count, saturate=True must be bitwise-identical to off."""
+    ds = synthetic_ratings(300, 200, 4000, rank=3, seed=0)
+    outs = []
+    for saturate in (False, True):
+        state = init_dpmf(jax.random.PRNGKey(0), ds, 8)
+        runner = SlotSgldRunner(
+            ds, sub=16, seed=1, mxu="float32", interpret=True, dim=8,
+            tile=64, saturate=saturate,
+        )
+        outs.append(_run_rounds(runner, state, eta=1e-6, rounds=2))
+    np.testing.assert_array_equal(
+        np.asarray(outs[0].params.theta), np.asarray(outs[1].params.theta)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[0].params.phi), np.asarray(outs[1].params.phi)
+    )
+
+
+def test_slot_sgld_saturate_bounds_head_rows():
+    """Zipfy marginals concentrate a head row's ratings into one batch
+    (k >> cap); unsaturated batch application diverges at an eta where the
+    saturated kernel must stay finite and fit."""
+    ds = synthetic_ratings(300, 120, 30000, rank=3, noise=0.1, seed=6,
+                           zipf=1.4)
+    # scal = 0.1: inside the ALGORITHM's stability envelope (the sequential
+    # reference loop converges; loop.py docstring says keep scal < ~0.1) but
+    # far outside the batch window's (head rows take k ~ hundreds stale
+    # gradients per batch, k*scal >> 1) — exactly what saturation bounds.
+    eta = 0.1 / 30000
+    finals = {}
+    for saturate in (False, True):
+        state = init_dpmf(jax.random.PRNGKey(2), ds, 8, gb=ds.mean_rating())
+        runner = SlotSgldRunner(
+            ds, sub=16, seed=9, mxu="float32", interpret=True, dim=8,
+            tile=64, saturate=saturate,
+        )
+        assert runner.envelope_ok(eta * len(ds)) == saturate
+        state = _run_rounds(runner, state, eta=eta, rounds=3)
+        finals[saturate] = float(
+            calc_mse(state.params, ds.u, ds.v, ds.r) ** 0.5
+        )
+    assert np.isfinite(finals[True]) and finals[True] < 1.0, finals
+    assert (not np.isfinite(finals[False])) or finals[False] > finals[True]
+
+
+def test_slot_sgld_noise_cadence_invariant_at_temp0():
+    """noise_every only changes WHEN noise/stamps are injected; at temp=0
+    the factors must be identical across cadences and stamps must lag by at
+    most noise_every batches' worth of ratings."""
+    ds = synthetic_ratings(300, 200, 4000, rank=3, seed=0)
+    outs = []
+    for ne in (1, 4):
+        state = init_dpmf(jax.random.PRNGKey(0), ds, 8)
+        runner = SlotSgldRunner(
+            ds, sub=16, seed=1, mxu="float32", interpret=True, dim=8,
+            tile=64, noise_every=ne,
+        )
+        state = _run_rounds(runner, state, eta=1e-6, rounds=1)
+        outs.append((state, runner.plan.u[0].size))
+    (s1, bsz), (s4, _) = outs
+    # ulp-level tolerance: the ne=1 (single apply body) and ne>1 (dual
+    # pl.when bodies) kernels compile to differently-fused float graphs
+    np.testing.assert_allclose(
+        np.asarray(s1.params.theta), np.asarray(s4.params.theta), atol=1e-7
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.params.phi), np.asarray(s4.params.phi), atol=1e-7
+    )
+    lag = np.abs(
+        np.asarray(s1.gcountu[:-1]).astype(np.int64)
+        - np.asarray(s4.gcountu[:-1]).astype(np.int64)
+    )
+    assert lag.max() <= 4 * bsz
 
 
 def test_slot_sgld_eligibility():

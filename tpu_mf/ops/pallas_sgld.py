@@ -86,11 +86,35 @@ def bits_to_normals(b1, b2):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos((2.0 * np.pi) * u2)
 
 
+def bits_to_normals_pair(b1, b2):
+    """Both Box-Muller halves: r*cos AND r*sin of one (u1, u2) pair — two
+    independent standard normals for one log+sqrt and two PRNG words."""
+    u1 = (b1 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24)) + (
+        1.0 / (1 << 25)
+    )
+    u2 = (b2 >> 8).astype(jnp.int32).astype(jnp.float32) * (1.0 / (1 << 24))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    a = (2.0 * np.pi) * u2
+    return r * jnp.cos(a), r * jnp.sin(a)
+
+
 def _normals(shape):
-    """Standard normals from the on-chip PRNG (prng_seed must be called)."""
-    b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
-    return bits_to_normals(b1, b2)
+    """Standard normals from the on-chip PRNG (prng_seed must be called).
+
+    Uses BOTH Box-Muller halves (noise generation measured 34% of the slot
+    SGLD step when the cos-only variant ran per apply): bits for shape[0]/2
+    sublanes, sin/cos halves stacked — 1 PRNG word, half a log/sqrt, one
+    cos-or-sin per normal."""
+    rows = shape[0]
+    if rows % 2:
+        b1 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        b2 = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+        return bits_to_normals(b1, b2)
+    half = (rows // 2,) + tuple(shape[1:])
+    b1 = pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+    b2 = pltpu.bitcast(pltpu.prng_random_bits(half), jnp.uint32)
+    nc, ns = bits_to_normals_pair(b1, b2)
+    return jnp.concatenate([nc, ns], axis=0)
 
 
 def _sgld_kernel(

@@ -11,9 +11,11 @@ ratings per sublane row, slot-major stacked tables) to the DPMF semantics
 the per-column path. Columns only gather/scatter (identical hot loop to the
 slot SGD kernel, m_pred-masked pred); at each tile's last touching column of
 the batch the accumulated deltas flush once: geometric per-occurrence decay
-(1 - eta*bound*invfreq*lambda)^k from the count lanes, lazy Langevin noise
-sqrt(temp*eta*elapsed) for touched rows from the split gcount lanes against
-the batch-START clock, and the stamp. SGLD's stability envelope
+(1 - eta*bound*invfreq*lambda)^k from the count lanes, and — every
+``noise_every``-th batch (ap flag 2; per-apply Box-Muller over full tiles
+measured 34% of the step) — lazy Langevin noise sqrt(temp*eta*elapsed) for
+touched rows from the split gcount lanes against the batch-START clock, and
+the stamp. SGLD's stability envelope
 (eta*ntrain*bound*lambda_r << 1, CLAUDE.md) makes batch-granular application
 trajectory-neutral — the same argument that set the gen-1 batch default to
 8192 — and the noise lands one batch later than the reference's
@@ -66,7 +68,8 @@ def _slot_sgld_kernel(
     # scratch
     acc, sem,
     *, tile_u: int, tile_v: int, sub: int, dim: int, pack: int,
-    mxu_dtype, dma_seed: bool = True,
+    mxu_dtype, dma_seed: bool = True, saturate: bool = False,
+    noise_every: int = 1,
 ):
     P = pack
     m = LANES // P
@@ -154,14 +157,37 @@ def _slot_sgld_kernel(
     end_lo = cum_lo_ref[i].astype(jnp.float32)  # clock at batch START
     end_hi = cum_hi_ref[i].astype(jnp.float32)
 
-    def apply_tile(tab, a, lamv, m_bias_t, rows):
-        """Decay + noise + stamp + delta for one tile from accumulated a."""
+    def apply_tile(tab, a, lamv, m_bias_t, rows, with_noise):
+        """Decay + delta (+ noise + stamp) for one tile from accumulated a.
+
+        with_noise is a PYTHON bool: noise generation (Box-Muller PRNG over
+        the whole tile) measured 34% of the step when run at every apply, so
+        plain applies skip it entirely — injection opportunities come every
+        ``noise_every`` batches (ap flag 2 / the theta batch predicate). The
+        split-lane stamps make the lagged injection exact: std covers
+        clock - stamp whenever noise IS drawn, so the per-row variance
+        telescopes to temp*eta*elapsed regardless of injection schedule —
+        the same lazy-noise argument as the reference's inject-at-next-touch
+        (dpmf.h:61-70); finish_noise absorbs any round-end remainder."""
         k_b = jnp.dot(a, CB, preferred_element_type=jnp.float32)  # counts
+        if saturate:
+            # Per-(row, slot) window-step saturation (pallas_sgd.sat_scale):
+            # the apply window here is the WHOLE batch, and the cell layout
+            # concentrates a head row's ratings, so k can reach the hundreds
+            # on zipfy marginals — scal*k >> 1 diverges. Scale the
+            # accumulated delta by min(1, cap/k), cap = 0.2/scal
+            # (hyper_ref[5], host-computed): exact for k <= cap, a bounded
+            # averaged step for heads. Decay/noise/stamps stay exact.
+            a = a * jnp.minimum(1.0, hyper_ref[5] / jnp.maximum(k_b, 1.0))
         inv_b = jnp.dot(tab * m_inv, IB, preferred_element_type=jnp.float32)
         base = 1.0 - (eta * bound) * inv_b * lamv
         ln = jnp.log(jnp.maximum(jnp.abs(base), 1e-30))
         sign = jnp.where((base < 0) & (jnp.mod(k_b, 2.0) == 1.0), -1.0, 1.0)
         dec = jnp.where(k_b == 0, 1.0, sign * jnp.exp(k_b * ln))
+        m_kept = m_fac + m_bias_t
+        out = tab * dec + a * m_kept
+        if not with_noise:
+            return out
         touched = (k_b > 0).astype(jnp.float32)
         lo = jnp.dot(tab * m_gcl, GL, preferred_element_type=jnp.float32)
         hi = jnp.dot(tab * m_gch, GH, preferred_element_type=jnp.float32)
@@ -170,10 +196,9 @@ def _slot_sgld_kernel(
         std = jnp.sqrt(
             jnp.maximum(temp * eta * (dhi * LO_BASE + dlo), 0.0)
         ) * touched
-        m_kept = m_fac + m_bias_t
         noise = std * _normals((rows, LANES)) * m_kept
         stamp = touched * (dlo * m_gcl + dhi * m_gch)
-        return tab * dec + a * m_kept + noise + stamp
+        return out + noise + stamp
 
     theta_acc = jnp.zeros((tile_u, LANES), jnp.float32)
     for k in range(8):
@@ -238,17 +263,45 @@ def _slot_sgld_kernel(
 
         acc[pl.ds(off, tile_v), :] += d_phi * MC_v
 
-        @pl.when(ap_ref[8 * i + k] == 1)
+        # ap encodes the deferred-apply schedule: 1 = plain apply (decay +
+        # delta), 2 = apply + noise/stamp injection (every noise_every-th
+        # batch — see apply_tile).
+        av = ap_ref[8 * i + k]
+
+        @pl.when(av == 1)
         def _(off=off, phi=phi):
             a = acc[pl.ds(off, tile_v), :]
             phi_out[pl.ds(off, tile_v), :] = apply_tile(
-                phi, a, lam_v, m_bias_v, tile_v
+                phi, a, lam_v, m_bias_v, tile_v, False
             )
             acc[pl.ds(off, tile_v), :] = jnp.zeros_like(a)
 
-    theta_out[:] = apply_tile(
-        theta, theta_acc * MC_u, lam_u, m_bias_u, tile_u
-    )
+        @pl.when(av == 2)
+        def _(off=off, phi=phi):
+            a = acc[pl.ds(off, tile_v), :]
+            phi_out[pl.ds(off, tile_v), :] = apply_tile(
+                phi, a, lam_v, m_bias_v, tile_v, True
+            )
+            acc[pl.ds(off, tile_v), :] = jnp.zeros_like(a)
+
+    if noise_every == 1:
+        theta_out[:] = apply_tile(
+            theta, theta_acc * MC_u, lam_u, m_bias_u, tile_u, True
+        )
+    else:
+        nzb = jnp.mod(i, noise_every) == noise_every - 1
+
+        @pl.when(nzb)
+        def _():
+            theta_out[:] = apply_tile(
+                theta, theta_acc * MC_u, lam_u, m_bias_u, tile_u, True
+            )
+
+        @pl.when(jnp.logical_not(nzb))
+        def _():
+            theta_out[:] = apply_tile(
+                theta, theta_acc * MC_u, lam_u, m_bias_u, tile_u, False
+            )
 
 
 @functools.partial(
@@ -256,14 +309,14 @@ def _slot_sgld_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
-        "interpret",
+        "interpret", "saturate", "noise_every",
     ),
 )
 def _run_slot_sgld_epoch(
     theta_s, phi_s,
     gu, gv, ap, cum_lo, cum_hi, seed, hyper, lamvec, uv, uvt, r,
     *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
-    interpret=False,
+    interpret=False, saturate=False, noise_every=1,
 ):
     nb = uv.shape[0]
     gv = gv.reshape(-1)
@@ -276,7 +329,8 @@ def _run_slot_sgld_epoch(
     kernel = functools.partial(
         _slot_sgld_kernel,
         tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
-        mxu_dtype=jnp.dtype(mxu), dma_seed=not interpret,
+        mxu_dtype=jnp.dtype(mxu), dma_seed=not interpret, saturate=saturate,
+        noise_every=noise_every,
     )
     lanes8 = 8 * pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -424,7 +478,18 @@ class SlotSgldRunner:
         dim: int | None = None,
         tile: int | None = None,
         balance: bool = False,
+        saturate: bool = False,
+        noise_every: int = 8,
     ):
+        # Per-(row, slot) window-step saturation (see _slot_sgld_kernel):
+        # bounds head-row steps so the batch-granular apply stays stable at
+        # any duplicate count — production always enables it.
+        self.saturate = saturate
+        # Noise-injection cadence in batches (see apply_tile): per-apply
+        # Box-Muller over full tiles measured 34% of the step; stamps keep
+        # the lagged variance telescoping exact. 1 = reference-granular
+        # (inject at every apply), used by the stamp-freshness tests.
+        self.noise_every = max(1, int(noise_every))
         assert dim is not None, "pass dim="
         pack = sgld_slot_pack(dim)
         assert pack in (2, 4, 8), (
@@ -448,14 +513,17 @@ class SlotSgldRunner:
                 pick_sub,
             )
 
-            # SGLD's per-tile apply (noise PRNG + stamps + per-lane decay)
-            # is heavier than SGD's, so taller columns amortize better:
-            # measured ML-10M rank 8: sub 256 -> 192M/s, 384 -> 213, 512
-            # -> 183. Scale the SGD-tuned pick by 1.5 (rounded to 8).
+            # SGLD's per-tile apply (stamps + per-lane decay, noise every
+            # noise_every batches) is heavier than SGD's, so taller columns
+            # amortize better — but less so since the paired-Box-Muller +
+            # cadence cut: calibrated ML-10M rank 8 @ ne=8 measured sub 256
+            # -> 219M/s, 288 -> 247, 320 -> **257**, 352 -> 247, 384 -> 238
+            # (old cos-only per-apply noise: 384 -> 213). Scale the
+            # SGD-tuned pick by 1.25 (rounded to 8).
             base = pick_sub(
                 _slot_bucket_counts(train_ds, tile, tile, pack), pack
             )
-            sub = max(8, int(base * 1.5) // 8 * 8)
+            sub = max(8, int(base * 1.25) // 8 * 8)
         self.sub = sub
         self.plans = [
             prepare_cells_slot(train_ds, tile, tile, sub, seed + 7919 * p,
@@ -493,8 +561,12 @@ class SlotSgldRunner:
                 jnp.asarray(plan.r),
             ))
             # Deferred apply at each tile's LAST touching column (always on
-            # for SGLD: groups=1 over the whole batch).
-            self.flags.append(jnp.asarray(_apply_flags(plan.gv, 1)))
+            # for SGLD: groups=1 over the whole batch). Flag 2 marks noise-
+            # injection applies (every noise_every-th batch).
+            fl = np.asarray(_apply_flags(plan.gv, 1)).astype(np.int32)
+            nz = (np.arange(fl.shape[0]) % self.noise_every
+                  == self.noise_every - 1)
+            self.flags.append(jnp.asarray(fl + fl * nz[:, None]))
             # Batch-START clock: real slots per batch, exclusive cumsum.
             real = (plan.u != rows_u).reshape(plan.u.shape[0], -1).sum(1)
             self.cum_bases.append(
@@ -505,7 +577,11 @@ class SlotSgldRunner:
         """True while the batch-granular apply stays in the staleness
         envelope: a row hit k times in one batch takes k stale gradients of
         scale ~scal each (scal = eta*ntrain*bound*lambda_r — GROWS with the
-        Gibbs lambda_r, so callers re-check every round)."""
+        Gibbs lambda_r, so callers re-check every round). With saturation on
+        the kernel caps each row's window delta at 0.2/scal itself, so the
+        envelope holds for any duplicate count."""
+        if self.saturate:
+            return True
         return scal * self.batch_dup_max <= 0.2
 
     def pad(self, state: DPMFState):
@@ -535,18 +611,21 @@ class SlotSgldRunner:
         plan = self.plans[plan_i]
         gu, gv, uv, uvt, r = self.devs[plan_i]
         lo, hi = split_count(self.cum_bases[plan_i] + np.int64(state_gcount))
+        # hyper[5] = saturation cap 0.2/scal (unused when saturate is off).
+        cap = max(1.0, 0.2 / max(float(hyper[3]), 1e-12))
         return _run_slot_sgld_epoch(
             tables[0], tables[1],
             gu, gv, self.flags[plan_i],
             jnp.asarray(lo.astype(np.int32)),
             jnp.asarray(hi.astype(np.int32)),
             jnp.asarray([noise_seed], jnp.int32),
-            jnp.asarray(list(hyper), jnp.float32),
+            jnp.asarray(list(hyper) + [cap], jnp.float32),
             self.lamvec, uv, uvt, r,
             tile_u=self.tile_u, tile_v=self.tile_v, sub=self.sub,
             dim=self.dim, pack=self.pack,
             n_gu=plan.n_gu, n_gv=plan.n_gv,
-            mxu=self.mxu, interpret=self.interpret,
+            mxu=self.mxu, interpret=self.interpret, saturate=self.saturate,
+            noise_every=self.noise_every,
         )
 
     def unpack(self, state: DPMFState, tables) -> DPMFState:

@@ -823,12 +823,15 @@ def train_dpmf(
         if sgld_slot_eligible(state, ntrain):
             # Small rank: the slot-major SGLD kernel (batch-granular noise/
             # decay riding the deferred apply). Its staleness window is the
-            # whole batch, gated per round on scal = eta*ntrain*bound*
-            # lambda_r (which GROWS via Gibbs) — the loop below falls back
-            # to the gen-1 kernel the round the envelope breaks.
+            # whole batch; per-row window-step saturation caps head-row
+            # deltas at 0.2/scal in-kernel, so the envelope holds even on
+            # zipfy marginals (where the cell layout concentrates a head
+            # row's ratings into one batch, k in the hundreds) and as the
+            # Gibbs lambda_r grows scal between rounds.
             sgld_runner = SlotSgldRunner(
                 train_ds, seed=cfg.seed, dim=cfg.dim,
                 n_plans=2 if cfg.iters > 1 else 1, balance=True,
+                saturate=True,
             )
             slot_is_active = True
         elif sgld_pallas_eligible(state, ntrain):
