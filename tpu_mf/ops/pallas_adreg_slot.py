@@ -477,11 +477,11 @@ class SlotAdRegRunner:
         if balance:
             from tpu_mf.ops.pallas_sgd_slot import balance_dataset
 
-            # LPT slot relabeling (pallas_sgd_slot._balance_map): validation
-            # ids must ride the same maps — the fused hypergradient step
+            # Cross-tile serpentine + slot LPT relabeling: validation ids
+            # must ride the same maps — the fused hypergradient step
             # gathers validation rows from the RELABELED tables.
             train_ds, self._map_u, self._map_v = balance_dataset(
-                train_ds, tile, tile, pack
+                train_ds, tile, tile, pack, cross_tile=True
             )
             valid_ds = dataclasses.replace(
                 valid_ds, u=self._map_u[valid_ds.u], v=self._map_v[valid_ds.v],

@@ -232,7 +232,9 @@ def slot_dup_lower_bound(
     tile_u = tile_u or 128 * P
     tile_v = tile_v or 128 * P
     if balance:
-        ds, _, _ = balance_dataset(ds, tile_u, tile_v, P)
+        # must match the production runners' map (cross_tile=True) so the
+        # pre-gate sees the same bucket structure
+        ds, _, _ = balance_dataset(ds, tile_u, tile_v, P, cross_tile=True)
     counts = _slot_bucket_counts(ds, tile_u, tile_v, P)
     if sub is None:
         sub = pick_sub(counts, P)
@@ -329,17 +331,55 @@ def _balance_map(counts: np.ndarray, tile: int, pack: int) -> np.ndarray:
     return out[:n].astype(np.int32)
 
 
+def _balance_map_serpentine(
+    counts: np.ndarray, tile: int, pack: int
+) -> np.ndarray:
+    """``new_of_old`` relabeling: GLOBAL serpentine heaviest-first deal
+    across all (tile, slot) buckets.
+
+    _balance_map preserves tile membership, so zipfy heads still pile into
+    whichever tiles they started in and the per-CELL size spread (the
+    cols_per_cell ceil waste) survives. Dealing ids heaviest-first across
+    every (tile, slot) bucket serpentine-wise (the balance_cells idea from
+    the gen-1 cell plans, composed with the slot-level LPT) equalizes
+    per-tile loads AND per-slot loads in one vectorized pass: sorted id at
+    position i -> pass p = i // B, bucket b = i % B (reversed on odd
+    passes, B = n_tiles * P buckets), new id = t*tile + p*P + j for
+    b = (t, j). Every bucket receives exactly tile/P ids (capacity-exact).
+    Measured calibrated ML-10M rank 8 SGLD (tile 1024, sub auto): fill
+    0.54 -> see PERF_NOTES round-3-late."""
+    P = pack
+    n = counts.size
+    n_pad = cdiv(n, tile) * tile
+    c = np.zeros(n_pad, np.int64)
+    c[:n] = counts
+    rows = tile // P
+    B = (n_pad // tile) * P
+    order = np.argsort(-c, kind="stable")
+    i = np.arange(n_pad, dtype=np.int64)
+    p = i // B
+    b = i % B
+    b = np.where(p % 2 == 1, B - 1 - b, b)
+    t, j = b // P, b % P
+    out = np.empty(n_pad, np.int64)
+    out[order] = t * tile + p * P + j
+    return out[:n].astype(np.int32)
+
+
 def balance_dataset(
-    ds: RatingsCOO, tile_u: int, tile_v: int, pack: int
+    ds: RatingsCOO, tile_u: int, tile_v: int, pack: int,
+    cross_tile: bool = False,
 ) -> Tuple[RatingsCOO, np.ndarray, np.ndarray]:
     """Relabel user/item ids so head rows spread across slots within each
-    tile (see _balance_map). Returns (relabeled ds, map_u, map_v) where the
+    tile (see _balance_map), or across tiles too (cross_tile=True,
+    _balance_map_serpentine). Returns (relabeled ds, map_u, map_v) where the
     maps are new-id-of-old-id; the relabeled ds is padded to whole tiles
     (same n_gu/n_gv). Training on the relabeled ids is exact — the same
     updates hit the same rows, just at different physical table positions —
     and pack/unpack_params_slot invert the maps at the table boundary."""
-    mu = _balance_map(np.bincount(ds.u, minlength=ds.nu), tile_u, pack)
-    mv = _balance_map(np.bincount(ds.v, minlength=ds.nv), tile_v, pack)
+    bmap = _balance_map_serpentine if cross_tile else _balance_map
+    mu = bmap(np.bincount(ds.u, minlength=ds.nu), tile_u, pack)
+    mv = bmap(np.bincount(ds.v, minlength=ds.nv), tile_v, pack)
     ds2 = RatingsCOO(
         u=mu[ds.u], v=mv[ds.v], r=ds.r,
         nu=cdiv(ds.nu, tile_u) * tile_u, nv=cdiv(ds.nv, tile_v) * tile_v,
@@ -813,8 +853,10 @@ class SlotEpochRunner:
         self.nu, self.nv = ds.nu, ds.nv  # pre-relabel row counts for trim
         self._map_u = self._map_v = None
         if balance:
+            # cross_tile: +15% at calibrated Netflix (486.6 -> 558.5M/s,
+            # fill .545 -> .622); neutral where nb floors (ML-10M SGLD).
             ds, self._map_u, self._map_v = balance_dataset(
-                ds, tile_u, tile_v, pack
+                ds, tile_u, tile_v, pack, cross_tile=True
             )
         if sub is None:
             sub = pick_sub(

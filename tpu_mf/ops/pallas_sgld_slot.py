@@ -502,10 +502,10 @@ class SlotSgldRunner:
         if balance:
             from tpu_mf.ops.pallas_sgd_slot import balance_dataset
 
-            # LPT slot relabeling: recovers plan fill on zipfy marginals
-            # (see pallas_sgd_slot._balance_map).
+            # Cross-tile serpentine + slot LPT relabeling: recovers plan
+            # fill on zipfy marginals (see pallas_sgd_slot._balance_map*).
             train_ds, self._map_u, self._map_v = balance_dataset(
-                train_ds, tile, tile, pack
+                train_ds, tile, tile, pack, cross_tile=True
             )
         if sub is None:
             from tpu_mf.ops.pallas_sgd_slot import (

@@ -123,6 +123,9 @@ class ShardedSlotRunner:
             # LPT slot relabeling preserves tile membership, hence also
             # chunk (device-shard) membership — the diagonal-block plan
             # below is unchanged structurally (pallas_sgd_slot._balance_map).
+            # NOTE: must stay cross_tile=False here — the serpentine map
+            # moves ids across tiles, which would move them across device
+            # shards and break the diagonal-block disjointness.
             ds, self._map_u, self._map_v = balance_dataset(
                 ds, tile, tile, pack
             )
