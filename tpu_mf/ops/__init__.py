@@ -5,7 +5,7 @@ def make_epoch_runner(train_ds, params, batch_size, use_pallas=True, seed=0):
     """Choose the fastest eligible epoch implementation for a dataset.
 
     Returns (run_epoch, name): run_epoch(params, eta, lam) -> params.
-    The fused Pallas kernel is used when eligible (dim <= 126, item table
+    The fused Pallas kernel is used when eligible (dim <= 253, item table
     fits VMEM, TPU backend); otherwise the pure-XLA gather/scatter path.
     """
     import jax

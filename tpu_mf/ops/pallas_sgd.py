@@ -169,6 +169,35 @@ def _prepare_cells_impl(
     )
 
 
+def pad_plan_nb(plan: CellPlan, nb: int) -> CellPlan:
+    """Pad a cell plan to ``nb`` batches with all-sentinel batches (w=0,
+    sentinel ids) pinned to the LAST real user tile — appending a lower gu
+    would revisit a stored theta block, which blocked refs must never do.
+    Sentinel batches are no-ops in the kernel (zero one-hots, zero counts)
+    and cost only the per-step floor; the item-sharded runner uses this to
+    round every shard's batch count to a common multiple so all shards
+    share one Mosaic compilation."""
+    cur = plan.u.shape[0]
+    if cur >= nb:
+        return plan
+
+    e = nb - cur
+
+    def pad3(a, fill):
+        return np.concatenate([a, np.full((e,) + a.shape[1:], fill, a.dtype)])
+
+    return plan._replace(
+        u=pad3(plan.u, plan.tile_u),
+        v=pad3(plan.v, plan.tile_v),
+        r=pad3(plan.r, 0),
+        w=pad3(plan.w, 0),
+        gu=np.concatenate(
+            [plan.gu, np.full(e, plan.gu[-1] if cur else 0, plan.gu.dtype)]
+        ),
+        gv=np.concatenate([plan.gv, np.zeros((e, 8), plan.gv.dtype)]),
+    )
+
+
 def _tile_balance_map(counts: np.ndarray, tile: int) -> np.ndarray:
     """``new_of_old`` id relabeling equalizing per-TILE rating loads.
 
@@ -640,8 +669,13 @@ def _run_epoch(
     assert not (batch_theta and (theta_groups != 1 or scatter_dg)), (
         "batch_theta requires theta_groups=1 and transposed one-hots"
     )
-    assert max(tile_u, tile_v) < UV_BASE, (
-        f"packed id streams need tiles < {UV_BASE}, got {tile_u}/{tile_v}"
+    # Packed-id capacity: v rides bits 0-10 (sentinel tile_v must fit 11
+    # bits) and u bits 11+; the 3-byte-plane decode is exact below 2^24, so
+    # u's sentinel may use up to 13 bits — big ITEM tiles cap at 2047 but
+    # user tiles may reach 8191 (the large-catalog geometries use this).
+    assert tile_v < UV_BASE and tile_u * UV_BASE + tile_v < (1 << 24), (
+        f"packed id streams need tile_v < {UV_BASE} and tile_u <= "
+        f"{(1 << 24) // UV_BASE - 1}, got {tile_u}/{tile_v}"
     )
     nb = pb.shape[0]
     check_smem_plan(nb)
@@ -676,7 +710,13 @@ def _run_epoch(
             ),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n_gv * tile_v, lanes), jnp.float32),  # deferred acc
+            # deferred-apply accumulator; at phi_groups == 8 (fully
+            # sequential item side) the kernel never touches it, so shrink
+            # to one sublane block and reclaim half the VMEM budget (lets
+            # the item-sharded runner carry ~2x larger phi shards).
+            pltpu.VMEM(
+                (n_gv * tile_v if phi_groups < 8 else 8, lanes), jnp.float32
+            ),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -711,7 +751,7 @@ def check_smem_plan(nb: int, ints_per_batch: int = 17) -> None:
             f"epoch plan has {nb} batches; its scalar-prefetch metadata "
             f"(~{nb * ints_per_batch * 4 // 1024} KiB) exceeds the ~1 MiB "
             "TPU SMEM. Use a larger batch size, the slot-major kernel "
-            "(dim <= 62), --mesh sharding, or --stream."
+            "(dim <= 61), --mesh sharding, or --stream."
         )
 
 
@@ -748,6 +788,7 @@ class PallasEpochRunner:
         mxu_apply: bool = False,
         balance: bool = False,
         saturate: bool = False,
+        nb_round: int = 1,
     ):
         # saturate: per-row window-step cap min(1, (0.2/eta)/k) at apply —
         # makes the fused kernel stable at warm etas on zipfy heads where
@@ -775,6 +816,13 @@ class PallasEpochRunner:
             prepare_cells(ds, tile_u, tile_v, batch, seed + 7919 * p)
             for p in range(max(1, n_plans))
         ]
+        if nb_round > 1:
+            # common-multiple batch counts (see pad_plan_nb): near-equal
+            # plans/shards collapse onto one compiled kernel
+            nbmax = cdiv(
+                max(p.u.shape[0] for p in self.plans), nb_round
+            ) * nb_round
+            self.plans = [pad_plan_nb(p, nbmax) for p in self.plans]
         self.plan = self.plans[0]
         self.tile_u, self.tile_v, self.batch = tile_u, tile_v, batch
         self.mxu = mxu
@@ -952,7 +1000,10 @@ def _dup_stats(ids: np.ndarray, sentinel: int) -> dict:
 
 
 def pallas_eligible(params: MFParams, batch_size: int) -> bool:
-    """The fused kernel needs dim <= 126 and an item table that fits VMEM."""
+    """The fused kernel needs dim <= MAX_DIM (253: two 128-lane groups per
+    row, row_lanes) and an item table that fits VMEM. Larger catalogs run
+    via the item-sharded wrapper (ops/phi_shard.py); larger dims fall back
+    to the XLA path (train loop logs the fallback)."""
     dim = params.theta.shape[1]
     nv = params.phi.shape[0]
     vmem_phi = cdiv(nv, 512) * 512 * row_lanes(dim) * 4

@@ -817,7 +817,7 @@ def _run_slot_epoch(
 class SlotEpochRunner:
     """Holds SlotPlans on device and runs slot-major fused epochs.
 
-    Drop-in counterpart of PackedEpochRunner for dim <= 62; a batch covers
+    Drop-in counterpart of PackedEpochRunner for dim <= 61; a batch covers
     8 * sub * P ratings. ``sub`` trades per-column fixed cost against cell
     padding: denser datasets want larger sub."""
 
@@ -845,7 +845,7 @@ class SlotEpochRunner:
             assert dim is not None, "pass dim= or pack="
             pack = slot_packing_factor(dim)
         assert pack in (2, 4, 8), (
-            f"slot kernel needs pack in 2/4/8 (dim <= 62), got {pack}"
+            f"slot kernel needs pack in 2/4/8 (dim <= 61), got {pack}"
         )
         self.pack = pack
         tile_u = tile_u or 128 * pack
@@ -998,7 +998,8 @@ class SlotEpochRunner:
 
 
 def slot_eligible(params: MFParams, batch_size: int = 8192) -> bool:
-    """Slot kernel needs dim <= 62 and the slot-major (unpacked-width) item
+    """Slot kernel needs dim <= 61 (dim + 3 lanes per slot at pack 2,
+    slot_packing_factor) and the slot-major (unpacked-width) item
     table + deferred scratch resident in VMEM."""
     dim = params.theta.shape[1]
     pack = slot_packing_factor(dim)

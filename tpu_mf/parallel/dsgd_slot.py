@@ -113,7 +113,7 @@ class ShardedSlotRunner:
         self.n_dev = mesh.devices.size
         P = self.n_dev
         pack = slot_packing_factor(dim)
-        assert pack in (2, 4, 8), f"slot kernel needs dim <= 62, got {dim}"
+        assert pack in (2, 4, 8), f"slot kernel needs dim <= 61, got {dim}"
         self.pack = pack
         tile = tile or 128 * pack
         self.tile_u = self.tile_v = tile
@@ -285,7 +285,7 @@ class _SlotPlanView:
 
 
 def sharded_slot_eligible(params: MFParams, n_dev: int) -> bool:
-    """Per-device slot kernel needs dim <= 62 and the PER-DEVICE slot-major
+    """Per-device slot kernel needs dim <= 61 and the PER-DEVICE slot-major
     item chunk (+ deferred scratch) resident in VMEM."""
     from tpu_mf.ops.pallas_sgd import LANES
 

@@ -142,12 +142,17 @@ def train_mf(
                 )
 
             if cfg.use_pallas and jax.default_backend() != "cpu":
-                from tpu_mf.ops.pallas_sgd import pallas_eligible
+                from tpu_mf.ops.pallas_sgd import MAX_DIM
 
-                if pallas_eligible(params, cfg.batch_size):
+                if cfg.dim <= MAX_DIM:
+                    # _pick_mf_runners routes: slot/packed/gen-1 when the
+                    # item table fits VMEM, the item-sharded wrapper
+                    # (ops/phi_shard.py) when it doesn't.
                     return _train_mf_pallas(
                         cfg, train_ds, test_ds, params, log, obs, start
                     )
+                log(f"# dim {cfg.dim} > {MAX_DIM} (two 128-lane row groups):"
+                    " no fused kernel; using the XLA path (slow)")
 
             # Static batch layout; per-epoch shuffle permutes within it on
             # device.
@@ -199,7 +204,7 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
     pigeonhole bound (slot_dup_lower_bound) runs first so the argsort-bound
     slot plans are never built when no epoch could ever use them.
     """
-    from tpu_mf.ops.pallas_sgd import PallasEpochRunner
+    from tpu_mf.ops.pallas_sgd import PallasEpochRunner, pallas_eligible
     from tpu_mf.ops.pallas_sgd_packed import PackedEpochRunner, packed_eligible
     from tpu_mf.ops.pallas_sgd_slot import (
         SlotEpochRunner,
@@ -208,6 +213,22 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
     )
 
     n_plans = 2 if cfg.iters > 1 else 1  # between-epoch reshuffling
+    if not pallas_eligible(params, cfg.batch_size):
+        # Item table beyond VMEM (the reference's Yahoo catalog,
+        # src/run.py:6-9): item-sharded fused epochs — K chained fused
+        # calls per epoch, each with one balanced phi shard resident
+        # (ops/phi_shard.py). Was a silent ~50x XLA fallback through
+        # round 3.
+        from tpu_mf.ops.phi_shard import PhiShardedRunner
+
+        runner = PhiShardedRunner(
+            train_ds, dim=cfg.dim, seed=cfg.seed, n_plans=n_plans,
+            saturate=True,
+        )
+        log(f"# item table exceeds VMEM (nv={train_ds.nv}): item-sharded "
+            f"fused epochs, {runner.n_shards} shards, tiles "
+            f"{runner.tile_u}x{runner.tile_v}, batch {runner.batch}")
+        return runner, None, None
     slot_runner = None
     switch_it = None
     if slot_eligible(params, cfg.batch_size):
@@ -447,6 +468,11 @@ def train_mf_stream(
         from tpu_mf.ops.pallas_sgd import pallas_eligible
 
         use_fused = pallas_eligible(params, cfg.batch_size)
+        if not use_fused:
+            log("# --stream: fused kernel ineligible (dim > 253 or item "
+                "table beyond VMEM); using the XLA streaming path (slow). "
+                "For large catalogs, in-memory training uses item-sharded "
+                "fused epochs (ops/phi_shard.py).")
 
     try:
         with obs.trace():
