@@ -113,13 +113,33 @@ def test_cli_stream_mesh_trains(data, capsys):
     out = capsys.readouterr().out
     assert out.count("tRMSE=") == 2
     assert "nan" not in out
-    # dpmf/admf mesh streaming is not implemented: loud error, not silence.
+
+
+def test_cli_stream_mesh_dpmf_trains(data, capsys):
+    """--stream --mesh dpmf runs the streamed sharded SGLD trainer
+    (round-3 VERDICT #5: the guard refusing alg != mf is gone)."""
     rc = main(
         base_args(data, "dpmf")
-        + ["--eta", "1e-5", "--stream", "--mesh", "2"]
+        + ["--eta", "1e-5", "--temp", "1e-6", "--hyperb", "1000",
+           "--stream", "--mesh", "2"]
     )
-    assert rc == 1
-    assert "--alg mf" in capsys.readouterr().err
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("tRMSE=") == 2
+    assert "nan" not in out
+
+
+def test_cli_stream_mesh_admf_trains(data, capsys):
+    """--stream --mesh admf runs the streamed sharded AdaptReg trainer."""
+    rc = main(
+        base_args(data, "admf")
+        + ["--eta", "0.03", "--eta_reg", "0.05", "--valid", data["valid"],
+           "--stream", "--mesh", "2"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert out.count("tRMSE=") == 2
+    assert "nan" not in out
 
 
 def test_cli_stream_model_warm_start(data, capsys):

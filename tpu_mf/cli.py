@@ -110,10 +110,6 @@ def main(argv=None) -> int:
     if cfg.resume and not cfg.result:
         print("--resume requires --result (checkpoint prefix)", file=sys.stderr)
         return 1
-    if args.stream and cfg.mesh > 1 and cfg.alg != "mf":
-        print("--stream --mesh is currently implemented for --alg mf only",
-              file=sys.stderr)
-        return 1
 
     # Heavy imports deferred so --help is instant.
     import numpy as np
