@@ -1,0 +1,76 @@
+"""TPU sweep: delta-striped slot columns vs the plain slot kernel.
+
+The striped plan (prepare_cells_stripe) packs all P delta classes of a
+(user-tile, item-tile) pair into shared columns (one sublane segment per
+class), breaking the nb >= n_gu*n_gv floor and letting sub grow into the
+MXU's flat-in-M regime (probe_segmm). This sweep measures both kernels on
+the CALIBRATED Zipf-Mandelbrot marginals at ML-10M or Netflix shape.
+
+Usage: sweep_stripe.py [CONFIG] [SUBS...]   (CONFIG: ml10m | netflix)
+"""
+import sys
+import time
+import warnings
+
+sys.path.insert(0, "/root/repo")
+import jax
+import jax.numpy as jnp
+
+from tpu_mf.data.coo import synthetic_ratings
+from tpu_mf.models.mf import init_mf
+from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner
+
+CONFIG = sys.argv[1] if len(sys.argv) > 1 else "ml10m"
+SUBS = [int(a) for a in sys.argv[2:]]
+shapes = {
+    "ml10m": (69_878, 10_677, 10_000_000),
+    "netflix": (480_189, 17_770, 100_000_000),
+}
+DIM = 8
+ETA, LAM = 2e-2, 5e-3
+
+
+def bench(runner, params, reps=5):
+    tables = runner.pad(params)
+    gb = float(params.gb)
+    tables = runner.epoch(tables, ETA, LAM, gb)
+    _ = float(jnp.sum(tables[0]))
+    t0 = time.perf_counter()
+    for i in range(reps):
+        tables = runner.epoch(tables, ETA, LAM, gb, epoch_idx=i)
+    tot = float(jnp.sum(tables[0]))
+    dt = (time.perf_counter() - t0) / reps
+    import math
+    return dt, math.isfinite(tot)
+
+
+def main():
+    nu, nv, n = shapes[CONFIG]
+    ds = synthetic_ratings(
+        nu, nv, n, rank=8, seed=0, noise=0.76, signal=1.0, bias_std=0.38,
+        zipf=1.0, zipf_q=50.0, zipf_u=1.0, zipf_uq=250.0)
+    params = init_mf(jax.random.PRNGKey(0), nu, nv, DIM, gb=ds.mean_rating())
+
+    cases = [("slot ", dict(striped=False, sub=None))]
+    for sub in (SUBS or [None]):
+        cases.append((f"strip", dict(striped=True, sub=sub)))
+    for name, kw in cases:
+        t_build = time.perf_counter()
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")
+            r = SlotEpochRunner(
+                ds, tile_u=1024, tile_v=1024, seed=1, dim=DIM,
+                balance=True, saturate=True, theta_groups=1, phi_groups=1,
+                **kw)
+        t_build = time.perf_counter() - t_build
+        dt, fin = bench(r, params)
+        nb = r.plan.u.shape[0]
+        print(f"{name} sub={r.sub:4d}: {r.plan.n_real/dt/1e6:7.1f}M/s  "
+              f"{dt*1e6/nb:7.2f}us/batch nb={nb} "
+              f"fill={r.plan.n_real/r.n_slots:.3f} finite={fin} "
+              f"build={t_build:.0f}s", flush=True)
+        del r
+
+
+if __name__ == "__main__":
+    main()

@@ -90,3 +90,44 @@ def test_slot_adreg_eligibility():
     assert adreg_slot_eligible(s)
     s64 = init_admf(jax.random.PRNGKey(0), 1000, 1000, 64, lam=0.02, gb=3.0)
     assert not adreg_slot_eligible(s64)
+
+
+def test_stripe_adreg_sgd_part_matches_stripe_sgd():
+    """Striped AdaptReg at eta_reg=0 with equal lambdas == striped slot SGD
+    on the same striped plan (same seed/geometry -> identical batches)."""
+    ds = synthetic_ratings(300, 200, 6000, rank=3, seed=0)
+    valid = synthetic_ratings(300, 200, 300, rank=3, seed=1)
+    lam, eta, dim = 0.02, 0.05, 8
+    state = init_admf(jax.random.PRNGKey(0), ds.nu, ds.nv, dim, lam=lam,
+                      gb=3.0)
+    a = SlotAdRegRunner(
+        ds, valid, sub=16, segments=3, seed=2, mxu="float32",
+        interpret=True, dim=dim, tile=64,
+        theta_groups=8, phi_groups=8, striped=True,
+    )
+    ta = a.pad(state)
+    ta = a.epoch(ta, eta, 0.0, jax.random.PRNGKey(5))
+    out = a.trim(ta)
+
+    s = SlotEpochRunner(
+        ds, tile_u=64, tile_v=64, sub=16, seed=2, mxu="float32",
+        interpret=True, dim=dim, theta_groups=8, phi_groups=8,
+        striped=True,
+    )
+    params = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, dim, gb=3.0)
+    params = params._replace(
+        theta=state.params.theta, phi=state.params.phi,
+        bu=state.params.bu, bv=state.params.bv,
+    )
+    ts = s.pad(params)
+    ts = s.epoch(ts, eta, lam, 3.0)
+    want = s.trim(ts)
+
+    np.testing.assert_allclose(np.asarray(out.theta), np.asarray(want.theta),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.phi), np.asarray(want.phi),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.bu), np.asarray(want.bu),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.bv), np.asarray(want.bv),
+                               atol=3e-5)

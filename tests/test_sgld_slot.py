@@ -294,3 +294,88 @@ def test_slot_sgld_eligibility():
         jax.random.PRNGKey(0), synthetic_ratings(500, 300, 2000, seed=0), 8
     )
     assert sgld_slot_eligible(s, 10_000_000)
+
+
+# ---------------------------------------------------------------------------
+# Delta-striped SGLD slot plans (round 4)
+
+
+def batch_ratings_stripe(plan, b):
+    """Global (u, v, r) triples of one STRIPED slot-plan batch: row segment
+    s carries delta class s; a rating's v id sits at its own slot's lane."""
+    P = plan.pack
+    rows_u = plan.tile_u // P
+    seg = plan.u.shape[1] // P
+    us, vs, rs = [], [], []
+    for row in range(plan.u.shape[1]):
+        s = row // seg
+        for lane in range(8 * P):
+            ul = plan.u[b, row, lane]
+            if ul == rows_u:
+                continue
+            k, j = lane // P, lane % P
+            jv = (j + s) % P
+            u = plan.gu[b] * plan.tile_u + j + P * ul
+            v = (plan.gv[b, k] * plan.tile_v + jv
+                 + P * plan.v[b, row, k * P + jv])
+            us.append(u)
+            vs.append(v)
+            rs.append(plan.r[b, row, lane])
+    return (np.asarray(us, np.int32), np.asarray(vs, np.int32),
+            np.asarray(rs, np.float32))
+
+
+def test_stripe_sgld_matches_xla_batchwise_temp0():
+    """temp=0 parity of the STRIPED slot SGLD kernel vs the XLA batch
+    update replayed over the striped plan's own batches."""
+    ds = synthetic_ratings(300, 200, 4000, rank=3, seed=0)
+    state = init_dpmf(jax.random.PRNGKey(0), ds, 8)
+    eta, temp, bound = 1e-5, 0.0, 1.0
+    ntrain = float(len(ds))
+    scal = eta * ntrain * bound * float(state.lambda_r)
+
+    runner = SlotSgldRunner(
+        ds, sub=16, seed=1, mxu="float32", interpret=True, dim=8, tile=64,
+        noise_every=1, striped=True,
+    )
+    tables = runner.pad(state)
+    tables = runner.epoch(
+        tables, 0, (eta, temp, bound, scal, float(state.params.gb)),
+        noise_seed=7,
+    )
+    out = runner.unpack(state, tables)
+
+    hyper = SgldHyper(
+        eta=jnp.float32(eta), temp=jnp.float32(temp),
+        bound=jnp.float32(bound), ntrain=jnp.float32(ntrain),
+    )
+    ref = init_dpmf(jax.random.PRNGKey(0), ds, 8)
+    plan = runner.plan
+    n_seen = 0
+    for b in range(plan.u.shape[0]):
+        u, v, r = batch_ratings_stripe(plan, b)
+        n_seen += len(u)
+        if len(u) == 0:
+            continue
+        batch = (
+            jnp.asarray(u), jnp.asarray(v), jnp.asarray(r),
+            jnp.ones(len(u), jnp.float32),
+        )
+        ref = sgld_batch_update(
+            ref, batch, hyper, jax.random.fold_in(jax.random.PRNGKey(9), b)
+        )
+    assert n_seen == len(ds)
+
+    np.testing.assert_allclose(
+        np.asarray(out.params.theta), np.asarray(ref.params.theta), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.phi), np.asarray(ref.params.phi), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.bu), np.asarray(ref.params.bu), atol=3e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.bv), np.asarray(ref.params.bv), atol=3e-5
+    )
+    assert int(out.gcount) == int(ref.gcount) == len(ds)

@@ -61,6 +61,7 @@ def _slot_adreg_kernel(
     acc, sem,
     *, tile_u: int, tile_v: int, sub: int, dim: int, pack: int,
     mxu_dtype, theta_groups: int, phi_groups: int, loss: int,
+    striped: bool = False,
 ):
     P = pack
     m = LANES // P
@@ -130,6 +131,19 @@ def _slot_adreg_kernel(
         sign = jnp.where(neg & (jnp.mod(k, 2.0) == 1.0), -1.0, 1.0)
         return jnp.where(k == 0, 1.0, sign * jnp.exp(k * ln_mag))
 
+    seg = sub // P
+
+    def roll_segs(x, to_user_slots: bool):
+        """Striped columns (pallas_sgd_slot.prepare_cells_stripe): sublane
+        segment s carries delta class s — roll per segment with static
+        shifts instead of per column."""
+        parts = []
+        for si in range(P):
+            sh = ((P - si) % P if to_user_slots else si) * m
+            blk = x[si * seg : (si + 1) * seg]
+            parts.append(pltpu.roll(blk, sh, 1) if sh else blk)
+        return jnp.concatenate(parts, axis=0)
+
     tg_w = 8 // theta_groups
     pg_w = 8 // phi_groups
     theta_mx = None
@@ -155,19 +169,29 @@ def _slot_adreg_kernel(
         oh_u = jnp.concatenate(
             [(iota_ru == u_i[:, j : j + 1]).astype(mxu_dtype)
              for j in range(P)], axis=1)
+        # Striped plans arrange v ids by their OWN slot (pallas_sgd_slot).
         oh_v = jnp.concatenate(
-            [(iota_rv == v_i[:, (sv - delta) % P : (sv - delta) % P + 1]
+            [(iota_rv
+              == v_i[:, sv : sv + 1] if striped
+              else iota_rv
+              == v_i[:, (sv - delta) % P : (sv - delta) % P + 1]
               ).astype(mxu_dtype) for sv in range(P)], axis=1)
         oht_u = jnp.concatenate(
             [(iota_rut == ut_i[j : j + 1, :]).astype(mxu_dtype)
              for j in range(P)], axis=0)
         oht_v = jnp.concatenate(
-            [(iota_rvt == vt_i[(sv - delta) % P : (sv - delta) % P + 1, :]
+            [(iota_rvt
+              == vt_i[sv : sv + 1, :] if striped
+              else iota_rvt
+              == vt_i[(sv - delta) % P : (sv - delta) % P + 1, :]
               ).astype(mxu_dtype) for sv in range(P)], axis=0)
 
         t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
         p0 = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
-        p = pltpu.roll(p0, ((P - delta) % P) * m, 1) if delta else p0
+        if striped:
+            p = roll_segs(p0, to_user_slots=True)
+        else:
+            p = pltpu.roll(p0, ((P - delta) % P) * m, 1) if delta else p0
 
         r_b = jnp.dot(r3[:, k * P : (k + 1) * P], E,
                       preferred_element_type=jnp.float32)
@@ -177,8 +201,11 @@ def _slot_adreg_kernel(
 
         rhs_u = (err * p + m_cnt).astype(mxu_dtype)
         rhs_v0 = err * t + m_cnt
-        rhs_v = (pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
-                 ).astype(mxu_dtype)
+        if striped:
+            rhs_v = roll_segs(rhs_v0, to_user_slots=False).astype(mxu_dtype)
+        else:
+            rhs_v = (pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
+                     ).astype(mxu_dtype)
         d_theta_g += jnp.dot(oht_u, rhs_u, preferred_element_type=jnp.float32)
         d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
 
@@ -217,13 +244,13 @@ def _slot_adreg_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
-        "interpret", "theta_groups", "phi_groups", "loss",
+        "interpret", "theta_groups", "phi_groups", "loss", "striped",
     ),
 )
 def _run_slot_adreg_segment(
     theta_s, phi_s, gu, gv, ap, hyper, lamvec, uv, uvt, r,
     *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
-    interpret=False, theta_groups=8, phi_groups=8, loss=0,
+    interpret=False, theta_groups=8, phi_groups=8, loss=0, striped=False,
 ):
     nb = uv.shape[0]
     gv = gv.reshape(-1)
@@ -232,79 +259,7 @@ def _run_slot_adreg_segment(
         _slot_adreg_kernel,
         tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
-        phi_groups=phi_groups, loss=loss,
-    )
-    lanes8 = 8 * pack
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,  # gu, gv, ap, hyper
-        grid=(nb,),
-        in_specs=[
-            pl.BlockSpec((1, sub, lanes8), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, lanes8, sub), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((1, sub, lanes8), lambda i, *_: (i, 0, 0)),
-            pl.BlockSpec((tile_u, LANES), lambda i, gu, *_: (gu[i], 0)),
-            pl.BlockSpec((2, LANES), lambda i, *_: (0, 0)),   # lamvec
-            pl.BlockSpec(memory_space=pl.ANY),                # phi (HBM)
-        ],
-        out_specs=[
-            pl.BlockSpec((tile_u, LANES), lambda i, gu, *_: (gu[i], 0)),
-            pl.BlockSpec((n_gv * tile_v, LANES), lambda i, *_: (0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((n_gv * tile_v, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    theta_s, phi_s = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_gu * tile_u, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((n_gv * tile_v, LANES), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024
-        ),
-        # operands incl. 4 scalar-prefetch args: uv=4..., theta=7, phi=9
-        input_output_aliases={7: 0, 9: 1},
-        interpret=interpret,
-    )(gu, gv, ap, hyper, uv, uvt, r, theta_s, lamvec, phi_s)
-    return theta_s, phi_s
-
-
-def _gather_slot_rows(tab, ids, tile: int, pack: int):
-    """(K, m) fused slot rows for global ids from a slot-major table (XLA
-    side — dynamic gathers are fine outside Mosaic)."""
-    P = pack
-    m = LANES // P
-    rows = tile // P
-    phys = (ids // tile) * tile + (ids % P) * rows + (ids % tile) // P
-    slot = ids % P
-    t3 = tab.reshape(-1, P, m)
-    return t3[phys, slot]
-
-
-@functools.partial(
-    jax.jit,
-    donate_argnums=(0, 1),
-    static_argnames=(
-        "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
-        "interpret", "theta_groups", "phi_groups", "loss",
-    ),
-)
-def _run_slot_adreg_segment(
-    theta_s, phi_s, gu, gv, ap, hyper, lamvec, uv, uvt, r,
-    *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
-    interpret=False, theta_groups=8, phi_groups=8, loss=0,
-):
-    nb = uv.shape[0]
-    gv = gv.reshape(-1)
-    ap = ap.reshape(-1)
-    kernel = functools.partial(
-        _slot_adreg_kernel,
-        tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
-        mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
-        phi_groups=phi_groups, loss=loss,
+        phi_groups=phi_groups, loss=loss, striped=striped,
     )
     lanes8 = 8 * pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -390,6 +345,7 @@ def _slot_hypergrad(
     static_argnames=(
         "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
         "interpret", "theta_groups", "phi_groups", "loss", "n_samples",
+        "striped",
     ),
 )
 def _run_slot_adreg_seg_step(
@@ -397,6 +353,7 @@ def _run_slot_adreg_seg_step(
     gu, gv, ap, uv, uvt, r, hyper, eta, eta_reg, visits_all,
     *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
     interpret=False, theta_groups=8, phi_groups=8, loss=0, n_samples=64,
+    striped=False,
 ):
     """One segment FUSED into a single dispatch: validation sampling, old-row
     snapshot gathers, the pallas segment, and the lambda hypergradient
@@ -420,6 +377,7 @@ def _run_slot_adreg_seg_step(
         tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
         n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
         theta_groups=theta_groups, phi_groups=phi_groups, loss=loss,
+        striped=striped,
     )
     new_t = _gather_slot_rows(theta_s, su, tile_u, pack)
     new_p = _gather_slot_rows(phi_s, sv, tile_v, pack)
@@ -463,7 +421,9 @@ class SlotAdRegRunner:
         theta_groups=None,
         phi_groups=None,
         balance: bool = False,
+        striped: bool = False,
     ):
+        self.striped = striped
         assert dim is not None, "pass dim="
         pack = slot_packing_factor(dim)
         assert pack in (2, 4, 8), (
@@ -488,18 +448,26 @@ class SlotAdRegRunner:
                 nu=train_ds.nu, nv=train_ds.nv,
             )
         if sub is None:
-            sub = pick_sub(
-                _slot_bucket_counts(train_ds, tile, tile, pack), pack
-            )
+            bc = _slot_bucket_counts(train_ds, tile, tile, pack)
+            if striped:
+                from tpu_mf.ops.pallas_sgd_slot import pick_sub_stripe
+
+                sub = pick_sub_stripe(bc, pack, cdiv(train_ds.nv, tile))
+            else:
+                sub = pick_sub(bc, pack)
         self.sub = sub
+        if striped:
+            assert sub % pack == 0, (sub, pack)
         self.mxu, self.interpret, self.loss = mxu, interpret, loss
         self.n_reg_samples = n_reg_samples
         self.theta_groups, self.phi_groups = theta_groups, phi_groups
         from tpu_mf.ops.common import distinct_counts
 
+        from tpu_mf.ops.pallas_sgd_slot import prepare_cells_stripe
+
+        builder = prepare_cells_stripe if striped else prepare_cells_slot
         self.plans = [
-            prepare_cells_slot(train_ds, tile, tile, sub, seed + 7919 * p,
-                               pack)
+            builder(train_ds, tile, tile, sub, seed + 7919 * p, pack)
             for p in range(max(1, n_plans))
         ]
         self.plan = self.plans[0]
@@ -601,7 +569,7 @@ class SlotAdRegRunner:
                 n_gu=b["n_gu"], n_gv=b["n_gv"],
                 mxu=self.mxu, interpret=self.interpret,
                 theta_groups=tg, phi_groups=pg, loss=self.loss,
-                n_samples=self.n_reg_samples,
+                n_samples=self.n_reg_samples, striped=self.striped,
             )
             tables = (t0, t1)
         return tables

@@ -178,6 +178,116 @@ def cdiv_np(a, b):
     return -(-a // b)
 
 
+def prepare_cells_stripe(
+    ds: RatingsCOO,
+    tile_u: int,
+    tile_v: int,
+    sub: int,
+    seed: int,
+    pack: int,
+) -> SlotPlan:
+    """Disk-cached striped plan build (ops/plan_cache.py)."""
+    from tpu_mf.ops.plan_cache import cached_build
+
+    return cached_build(
+        "stripe", SlotPlan, ds, seed, (tile_u, tile_v, sub, pack),
+        lambda: _prepare_cells_stripe_impl(ds, tile_u, tile_v, sub, seed,
+                                           pack),
+    )
+
+
+def _prepare_cells_stripe_impl(
+    ds: RatingsCOO,
+    tile_u: int,
+    tile_v: int,
+    sub: int,
+    seed: int,
+    pack: int,
+) -> SlotPlan:
+    """DELTA-STRIPED slot plan: a column's P sublane segments each carry a
+    DIFFERENT (static) delta class — segment s holds ratings with
+    (v - u) %% P == s.
+
+    The plain slot plan pins one delta class per column (delta = k %% P),
+    so every (user-tile, delta, item-tile) cell needs its own columns and
+    nb floors at n_gu * n_gv with one column per fullest (cell, slot)
+    bucket. Striping lets the 8 delta-buckets of a (user-tile, item-tile)
+    PAIR share columns: columns per pair = max over the P*P (delta, slot)
+    buckets of ceil(count / (sub/P)). That breaks the structural nb floor
+    and — because the MXU gather matmuls are ~flat in M up to ~448 at
+    K=1024 (benchmarks/probe_segmm.py) — lets sub grow into the regime
+    where the per-column matmul cost amortizes over 2x the ratings.
+
+    Stream layout per column k (lanes k*P..(k+1)*P-1):
+      * lane k*P + j carries the u id and rating of the segment-s rating
+        whose user slot is j (u %% P == j), at row s*(sub/P) + l;
+      * lane k*P + (j + s) %% P == k*P + v %% P carries its ITEM id — i.e.
+        v ids are arranged by their OWN slot, so the kernel's item one-hots
+        are built exactly like the user side (no delta indexing) and only
+        the gathered rows / scatter rhs need per-segment lane rolls.
+    """
+    P = pack
+    assert tile_u % P == 0 and tile_v % P == 0 and 8 % P == 0
+    assert sub % P == 0, f"striped plans need P | sub, got {sub} / {P}"
+    seg = sub // P
+    rows_u = tile_u // P
+    rows_v = tile_v // P
+    n_gu = cdiv(ds.nu, tile_u)
+    n_gv = cdiv(ds.nv, tile_v)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(ds))
+    u, v, r = ds.u[perm], ds.v[perm], ds.r[perm]
+
+    g = u // tile_u
+    gvt = v // tile_v
+    j = u % P
+    s = (v - u) % P
+    pair = g.astype(np.int64) * n_gv + gvt
+    bucket = (pair * P + s) * P + j
+    order = np.argsort(bucket, kind="stable")
+    u, v, r, bucket = u[order], v[order], r[order], bucket[order]
+    counts = np.bincount(bucket, minlength=n_gu * n_gv * P * P)
+    ncols_pair = cdiv_np(counts.reshape(-1, P * P).max(1), seg)
+    cols_per_gu = ncols_pair.reshape(n_gu, n_gv).sum(1)
+    nb_per_gu = np.maximum(1, cdiv_np(cols_per_gu, 8)).astype(np.int64)
+    nb_total = int(nb_per_gu.sum())
+
+    U = np.full((nb_total, sub, 8 * P), rows_u, np.int32)   # sentinel
+    V = np.full((nb_total, sub, 8 * P), rows_v, np.int32)
+    R = np.zeros((nb_total, sub, 8 * P), np.float32)
+    GU = np.repeat(np.arange(n_gu, dtype=np.int32), nb_per_gu).astype(
+        np.int32
+    )
+    GV = np.zeros((nb_total, 8), np.int32)
+
+    src = np.concatenate([[0], np.cumsum(counts)])
+    col_cs = np.concatenate([[0], np.cumsum(ncols_pair)])
+    base = np.concatenate([[0], np.cumsum(nb_per_gu)])
+
+    l = np.arange(len(u), dtype=np.int64) - src[bucket]   # index in bucket
+    pairid = bucket // (P * P)
+    ss = (bucket // P) % P
+    jj = bucket % P
+    gg = pairid // n_gv
+    col_in_gu = (col_cs[pairid] - col_cs[gg * n_gv]) + l // seg
+    b = base[gg] + col_in_gu // 8
+    kcol = col_in_gu % 8
+    row = ss * seg + l % seg
+    lane_u = kcol * P + jj
+    lane_v = kcol * P + (jj + ss) % P
+    flat_u = (b * sub + row) * (8 * P) + lane_u
+    flat_v = (b * sub + row) * (8 * P) + lane_v
+    U.reshape(-1)[flat_u] = ((u % tile_u) // P).astype(np.int32)
+    V.reshape(-1)[flat_v] = ((v % tile_v) // P).astype(np.int32)
+    R.reshape(-1)[flat_u] = r
+    GV.reshape(-1)[b * 8 + kcol] = (pairid % n_gv).astype(np.int32)
+    return SlotPlan(
+        u=U, v=V, r=R, gu=GU, gv=GV,
+        tile_u=tile_u, tile_v=tile_v, sub=sub, n_gu=n_gu, n_gv=n_gv,
+        n_real=len(ds), pack=P,
+    )
+
+
 def slot_col_ids(ids: np.ndarray, pack: int) -> np.ndarray:
     """(NB, sub, 8P) segment-local ids -> (NB, sub*P, 8) full-local ids for
     duplicate-window statistics (sentinel rows map >= tile)."""
@@ -291,6 +401,39 @@ def pick_sub(counts: np.ndarray, pack: int) -> int:
             continue
         fill = n / slots
         score = fill / (1.0 + 94.0 / sub)
+        if score > best_score:
+            best, best_score = sub, score
+    return best
+
+
+_SUB_CANDIDATES_STRIPE = (128, 192, 256, 320, 384, 448, 512)
+
+
+def pick_sub_stripe(counts: np.ndarray, pack: int, n_gv: int) -> int:
+    """pick_sub for DELTA-STRIPED plans (prepare_cells_stripe): a column's
+    P segments each hold one delta class, so a (user-tile, item-tile)
+    pair's columns quantize at its fullest (delta, slot) bucket against
+    segment height sub/P. The flat per-column share is larger than the
+    plain slot kernel's (the gather/scatter matmuls are ~flat in sub up to
+    ~448, benchmarks/probe_segmm.py), so the cost model rewards taller
+    columns; constant measured round 4 (benchmarks/sweep_stripe.py).
+    Candidates keep 8 | sub/P (sublane-aligned segments)."""
+    n = int(counts.sum())
+    # counts keyed ((gu*P + d)*n_gv + gv)*P + j -> (n_gu, P, n_gv, P)
+    per_pair_max = (
+        counts.reshape(-1, pack, n_gv, pack).max(axis=(1, 3)).reshape(-1)
+    )
+    best, best_score = 128, -1.0
+    for sub in _SUB_CANDIDATES_STRIPE:
+        seg = sub // pack
+        if sub % pack or seg % 8:
+            continue
+        cols = cdiv_np(per_pair_max, seg)
+        slots = int(cols.sum()) * sub * pack
+        if slots == 0:
+            continue
+        fill = n / slots
+        score = fill / (1.0 + 170.0 / sub)
         if score > best_score:
             best, best_score = sub, score
     return best
@@ -464,7 +607,7 @@ def _slot_kernel(
     *refs,
     tile_u: int, tile_v: int, sub: int, dim: int, pack: int,
     mxu_dtype, theta_groups: int, phi_groups: int, scatter_dg: bool = False,
-    gv_vmem: bool = False, saturate: bool = False,
+    gv_vmem: bool = False, saturate: bool = False, striped: bool = False,
 ):
     # Two metadata layouts: per-batch gv/ap normally ride SMEM scalar
     # prefetch (fast scalar reads), but a huge plan's (nb*8) int32 arrays
@@ -559,6 +702,21 @@ def _slot_kernel(
     ln_lameta = jnp.log(lameta)
     lnv_u = ln_lameta * (m_fac + m_bias_u)  # per-lane decay exponents
     lnv_v = ln_lameta * (m_fac + m_bias_v)
+    seg = sub // pack
+
+    def roll_segs(x, to_user_slots: bool):
+        """Striped columns: sublane segment s carries delta class s, so the
+        gathered item rows roll per SEGMENT (static shifts, cheap sublane
+        concat at 8-multiples) instead of per column. to_user_slots rolls
+        item-slot lanes onto user-slot lanes (gather side); the inverse
+        sends the scatter rhs back to item-slot lanes."""
+        parts = []
+        for si in range(P):
+            sh = ((P - si) % P if to_user_slots else si) * m
+            blk = x[si * seg : (si + 1) * seg]
+            parts.append(pltpu.roll(blk, sh, 1) if sh else blk)
+        return jnp.concatenate(parts, axis=0)
+
     tg_w = 8 // theta_groups
     pg_w = 8 // phi_groups
     theta_mx = None
@@ -595,9 +753,14 @@ def _slot_kernel(
             ],
             axis=1,
         )
+        # Striped plans arrange v ids by their OWN slot (lane sv carries a
+        # slot-sv item id), so the item one-hots index like the user side.
         oh_v = jnp.concatenate(
             [
-                (iota_rv == v_i[:, (sv - delta) % P : (sv - delta) % P + 1]
+                (iota_rv
+                 == v_i[:, sv : sv + 1] if striped
+                 else iota_rv
+                 == v_i[:, (sv - delta) % P : (sv - delta) % P + 1]
                  ).astype(mxu_dtype)
                 for sv in range(P)
             ],
@@ -615,6 +778,8 @@ def _slot_kernel(
             oht_v = jnp.concatenate(
                 [
                     (iota_rvt
+                     == vt_i[sv : sv + 1, :] if striped
+                     else iota_rvt
                      == vt_i[(sv - delta) % P : (sv - delta) % P + 1, :]
                      ).astype(mxu_dtype)
                     for sv in range(P)
@@ -626,7 +791,10 @@ def _slot_kernel(
         # table layout; item slots roll from v%P = (j+delta)%P onto j.
         t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
         p0 = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
-        p = pltpu.roll(p0, ((P - delta) % P) * m, 1) if delta else p0
+        if striped:
+            p = roll_segs(p0, to_user_slots=True)
+        else:
+            p = pltpu.roll(p0, ((P - delta) % P) * m, 1) if delta else p0
 
         # Per-slot broadcast of ratings. No weight stream is needed:
         # padded slots carry the sentinel id, whose one-hot column is all
@@ -643,9 +811,12 @@ def _slot_kernel(
 
         rhs_u = (err * p + m_cnt).astype(mxu_dtype)
         rhs_v0 = err * t + m_cnt
-        rhs_v = (
-            pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
-        ).astype(mxu_dtype)
+        if striped:
+            rhs_v = roll_segs(rhs_v0, to_user_slots=False).astype(mxu_dtype)
+        else:
+            rhs_v = (
+                pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
+            ).astype(mxu_dtype)
         # Scatter; other-slot garbage lanes are erased by MK_* at apply.
         if scatter_dg:
             # Contract the sublane axis of the GATHER one-hot directly —
@@ -709,6 +880,7 @@ def _slot_kernel(
     static_argnames=(
         "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
         "interpret", "theta_groups", "phi_groups", "scatter_dg", "saturate",
+        "striped",
     ),
 )
 def _run_slot_epoch(
@@ -716,7 +888,7 @@ def _run_slot_epoch(
     gu, gv, ap, uv, uvt, r, hyper,
     *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
     interpret=False, theta_groups=8, phi_groups=8, scatter_dg=False,
-    saturate=False,
+    saturate=False, striped=False,
 ):
     assert theta_groups in (1, 2, 4, 8), theta_groups
     assert phi_groups in (1, 2, 4, 8), phi_groups
@@ -734,7 +906,7 @@ def _run_slot_epoch(
         tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
         phi_groups=phi_groups, scatter_dg=scatter_dg, gv_vmem=gv_vmem,
-        saturate=saturate,
+        saturate=saturate, striped=striped,
     )
     lanes8 = 8 * pack
     scratch = [
@@ -838,9 +1010,11 @@ class SlotEpochRunner:
         scatter_dg: bool = False,
         balance: bool = False,
         saturate: bool = False,
+        striped: bool = False,
     ):
         # Per-(row, slot) window-step saturation (pallas_sgd.sat_scale).
         self.saturate = saturate
+        self.striped = striped
         if pack is None:
             assert dim is not None, "pass dim= or pack="
             pack = slot_packing_factor(dim)
@@ -859,13 +1033,18 @@ class SlotEpochRunner:
                 ds, tile_u, tile_v, pack, cross_tile=True
             )
         if sub is None:
-            sub = pick_sub(
-                _slot_bucket_counts(ds, tile_u, tile_v, pack), pack
-            )
+            bc = _slot_bucket_counts(ds, tile_u, tile_v, pack)
+            if striped:
+                sub = pick_sub_stripe(bc, pack, cdiv(ds.nv, tile_v))
+            else:
+                sub = pick_sub(bc, pack)
         self.sub = sub
+        if striped:
+            assert sub % pack == 0, (sub, pack)
         assert max(tile_u // pack, tile_v // pack) < UV_BASE
+        builder = prepare_cells_stripe if striped else prepare_cells_slot
         self.plans = [
-            prepare_cells_slot(ds, tile_u, tile_v, sub, seed + 7919 * p, pack)
+            builder(ds, tile_u, tile_v, sub, seed + 7919 * p, pack)
             for p in range(max(1, n_plans))
         ]
         self.plan = self.plans[0]
@@ -981,7 +1160,7 @@ class SlotEpochRunner:
             mxu=self.mxu, interpret=self.interpret,
             theta_groups=self.pick_theta_groups(eta),
             phi_groups=pg, scatter_dg=self.scatter_dg,
-            saturate=self.saturate,
+            saturate=self.saturate, striped=self.striped,
         )
 
     def pad(self, params: MFParams):

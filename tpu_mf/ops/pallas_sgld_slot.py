@@ -69,7 +69,7 @@ def _slot_sgld_kernel(
     acc, sem,
     *, tile_u: int, tile_v: int, sub: int, dim: int, pack: int,
     mxu_dtype, dma_seed: bool = True, saturate: bool = False,
-    noise_every: int = 1,
+    noise_every: int = 1, striped: bool = False,
 ):
     P = pack
     m = LANES // P
@@ -200,6 +200,19 @@ def _slot_sgld_kernel(
         stamp = touched * (dlo * m_gcl + dhi * m_gch)
         return out + noise + stamp
 
+    seg = sub // P
+
+    def roll_segs(x, to_user_slots: bool):
+        """Striped columns (pallas_sgd_slot.prepare_cells_stripe): sublane
+        segment s carries delta class s — roll per segment with static
+        shifts instead of per column."""
+        parts = []
+        for si in range(P):
+            sh = ((P - si) % P if to_user_slots else si) * m
+            blk = x[si * seg : (si + 1) * seg]
+            parts.append(pltpu.roll(blk, sh, 1) if sh else blk)
+        return jnp.concatenate(parts, axis=0)
+
     theta_acc = jnp.zeros((tile_u, LANES), jnp.float32)
     for k in range(8):
         off = pl.multiple_of(gv_ref[8 * i + k] * tile_v, tile_v)
@@ -220,8 +233,13 @@ def _slot_sgld_kernel(
              for j in range(P)],
             axis=1,
         )
+        # Striped plans arrange v ids by their OWN slot, so the item
+        # one-hots index like the user side (see pallas_sgd_slot).
         oh_v = jnp.concatenate(
-            [(iota_rv == v_i[:, (sv - delta) % P : (sv - delta) % P + 1]
+            [(iota_rv
+              == v_i[:, sv : sv + 1] if striped
+              else iota_rv
+              == v_i[:, (sv - delta) % P : (sv - delta) % P + 1]
               ).astype(mxu_dtype)
              for sv in range(P)],
             axis=1,
@@ -232,7 +250,10 @@ def _slot_sgld_kernel(
             axis=0,
         )
         oht_v = jnp.concatenate(
-            [(iota_rvt == vt_i[(sv - delta) % P : (sv - delta) % P + 1, :]
+            [(iota_rvt
+              == vt_i[sv : sv + 1, :] if striped
+              else iota_rvt
+              == vt_i[(sv - delta) % P : (sv - delta) % P + 1, :]
               ).astype(mxu_dtype)
              for sv in range(P)],
             axis=0,
@@ -240,7 +261,10 @@ def _slot_sgld_kernel(
 
         t = jnp.dot(oh_u, theta_mx, preferred_element_type=jnp.float32)
         p0 = jnp.dot(oh_v, phi_mx, preferred_element_type=jnp.float32)
-        p = pltpu.roll(p0, ((P - delta) % P) * m, 1) if delta else p0
+        if striped:
+            p = roll_segs(p0, to_user_slots=True)
+        else:
+            p = pltpu.roll(p0, ((P - delta) % P) * m, 1) if delta else p0
 
         r_b = jnp.dot(
             r3[:, k * P : (k + 1) * P], E, preferred_element_type=jnp.float32
@@ -253,9 +277,12 @@ def _slot_sgld_kernel(
 
         rhs_u = (err * pm + m_cnt).astype(mxu_dtype)
         rhs_v0 = err * tm + m_cnt
-        rhs_v = (
-            pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
-        ).astype(mxu_dtype)
+        if striped:
+            rhs_v = roll_segs(rhs_v0, to_user_slots=False).astype(mxu_dtype)
+        else:
+            rhs_v = (
+                pltpu.roll(rhs_v0, delta * m, 1) if delta else rhs_v0
+            ).astype(mxu_dtype)
         theta_acc += jnp.dot(
             oht_u, rhs_u, preferred_element_type=jnp.float32
         )
@@ -309,14 +336,14 @@ def _slot_sgld_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
-        "interpret", "saturate", "noise_every",
+        "interpret", "saturate", "noise_every", "striped",
     ),
 )
 def _run_slot_sgld_epoch(
     theta_s, phi_s,
     gu, gv, ap, cum_lo, cum_hi, seed, hyper, lamvec, uv, uvt, r,
     *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
-    interpret=False, saturate=False, noise_every=1,
+    interpret=False, saturate=False, noise_every=1, striped=False,
 ):
     nb = uv.shape[0]
     gv = gv.reshape(-1)
@@ -330,7 +357,7 @@ def _run_slot_sgld_epoch(
         _slot_sgld_kernel,
         tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
         mxu_dtype=jnp.dtype(mxu), dma_seed=not interpret, saturate=saturate,
-        noise_every=noise_every,
+        noise_every=noise_every, striped=striped,
     )
     lanes8 = 8 * pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -480,6 +507,7 @@ class SlotSgldRunner:
         balance: bool = False,
         saturate: bool = False,
         noise_every: int = 8,
+        striped: bool = False,
     ):
         # Per-(row, slot) window-step saturation (see _slot_sgld_kernel):
         # bounds head-row steps so the batch-granular apply stays stable at
@@ -490,6 +518,7 @@ class SlotSgldRunner:
         # the lagged variance telescoping exact. 1 = reference-granular
         # (inject at every apply), used by the stamp-freshness tests.
         self.noise_every = max(1, int(noise_every))
+        self.striped = striped
         assert dim is not None, "pass dim="
         pack = sgld_slot_pack(dim)
         assert pack in (2, 4, 8), (
@@ -511,23 +540,33 @@ class SlotSgldRunner:
             from tpu_mf.ops.pallas_sgd_slot import (
                 _slot_bucket_counts,
                 pick_sub,
+                pick_sub_stripe,
             )
 
-            # SGLD's per-tile apply (stamps + per-lane decay, noise every
-            # noise_every batches) is heavier than SGD's, so taller columns
-            # amortize better — but less so since the paired-Box-Muller +
-            # cadence cut: calibrated ML-10M rank 8 @ ne=8 measured sub 256
-            # -> 219M/s, 288 -> 247, 320 -> **257**, 352 -> 247, 384 -> 238
-            # (old cos-only per-apply noise: 384 -> 213). Scale the
-            # SGD-tuned pick by 1.25 (rounded to 8).
-            base = pick_sub(
-                _slot_bucket_counts(train_ds, tile, tile, pack), pack
-            )
-            sub = max(8, int(base * 1.25) // 8 * 8)
+            bc = _slot_bucket_counts(train_ds, tile, tile, pack)
+            if striped:
+                # Striped columns: the stripe cost model already rewards
+                # tall columns (flat matmul share); no extra scaling.
+                sub = pick_sub_stripe(bc, pack, cdiv(train_ds.nv, tile))
+            else:
+                # SGLD's per-tile apply (stamps + per-lane decay, noise
+                # every noise_every batches) is heavier than SGD's, so
+                # taller columns amortize better — but less so since the
+                # paired-Box-Muller + cadence cut: calibrated ML-10M rank 8
+                # @ ne=8 measured sub 256 -> 219M/s, 288 -> 247, 320 ->
+                # **257**, 352 -> 247, 384 -> 238 (old cos-only per-apply
+                # noise: 384 -> 213). Scale the SGD-tuned pick by 1.25
+                # (rounded to 8).
+                base = pick_sub(bc, pack)
+                sub = max(8, int(base * 1.25) // 8 * 8)
         self.sub = sub
+        if striped:
+            assert sub % pack == 0, (sub, pack)
+        from tpu_mf.ops.pallas_sgd_slot import prepare_cells_stripe
+
+        builder = prepare_cells_stripe if striped else prepare_cells_slot
         self.plans = [
-            prepare_cells_slot(train_ds, tile, tile, sub, seed + 7919 * p,
-                               pack)
+            builder(train_ds, tile, tile, sub, seed + 7919 * p, pack)
             for p in range(max(1, n_plans))
         ]
         self.plan = self.plans[0]
@@ -625,7 +664,7 @@ class SlotSgldRunner:
             dim=self.dim, pack=self.pack,
             n_gu=plan.n_gu, n_gv=plan.n_gv,
             mxu=self.mxu, interpret=self.interpret, saturate=self.saturate,
-            noise_every=self.noise_every,
+            noise_every=self.noise_every, striped=self.striped,
         )
 
     def unpack(self, state: DPMFState, tables) -> DPMFState:

@@ -192,7 +192,24 @@ def train_mf(
 
 
 def _pick_mf_runners(cfg, train_ds, params, log, start=0):
-    """(initial runner, slot runner or None, switch epoch).
+    """(initial runner, steady-state slot runner or None, its first epoch).
+
+    Compatibility view of _mf_runner_schedule for callers that only need
+    the initial and steady-state kernels (bench.py, converge_ml10m); the
+    loop itself follows the full multi-phase schedule.
+    """
+    from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner
+
+    sched = _mf_runner_schedule(cfg, train_ds, params, log, start)
+    last_ep, last = sched[-1]
+    if isinstance(last, SlotEpochRunner):
+        return sched[0][1], last, last_ep
+    return sched[0][1], None, None
+
+
+def _mf_runner_schedule(cfg, train_ds, params, log, start=0):
+    """Epoch-indexed kernel schedule ``[(first_epoch, runner), ...]`` —
+    each runner serves epochs [first_epoch, next phase's first_epoch).
 
     The slot-major kernel is the fastest eligible SGD kernel but its
     staleness window is sub*P slots per column, so warm-start etas can break
@@ -203,6 +220,14 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
     whose eta clears the exact per-plan envelope. A shuffle-invariant
     pigeonhole bound (slot_dup_lower_bound) runs first so the argsort-bound
     slot plans are never built when no epoch could ever use them.
+
+    Round 4 adds a steady-state phase: DELTA-STRIPED slot columns
+    (prepare_cells_stripe) pack all P delta classes of a (user-tile,
+    item-tile) pair into shared columns — fewer, fuller batches (+18%
+    measured at calibrated ML-10M rank 8) at the price of a taller column
+    window, so striping engages at the first epoch where ITS envelope
+    clears, and a plain slot plan covers the middle epochs when that is
+    later.
     """
     from tpu_mf.ops.pallas_sgd import PallasEpochRunner, pallas_eligible
     from tpu_mf.ops.pallas_sgd_packed import PackedEpochRunner, packed_eligible
@@ -211,6 +236,12 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
         slot_dup_lower_bound,
         slot_eligible,
     )
+
+    def first_env_epoch(runner):
+        for it in range(start + 1, cfg.iters + 1):
+            if runner.envelope_ok(cfg.eta_at(it)):
+                return it
+        return None
 
     n_plans = 2 if cfg.iters > 1 else 1  # between-epoch reshuffling
     if not pallas_eligible(params, cfg.batch_size):
@@ -228,32 +259,44 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
         log(f"# item table exceeds VMEM (nv={train_ds.nv}): item-sharded "
             f"fused epochs, {runner.n_shards} shards, tiles "
             f"{runner.tile_u}x{runner.tile_v}, batch {runner.batch}")
-        return runner, None, None
-    slot_runner = None
-    switch_it = None
+        return [(start + 1, runner)]
+    phases = []
     if slot_eligible(params, cfg.batch_size):
         lb, _ = slot_dup_lower_bound(train_ds, dim=cfg.dim, balance=True)
         if cfg.eta_at(cfg.iters) * lb <= 0.2:
             # balance=True: LPT slot relabeling recovers plan fill on zipfy
             # marginals (calibrated ML-10M: 0.48 -> 0.75 measured).
-            slot_runner = SlotEpochRunner(
+            striped = SlotEpochRunner(
                 train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
-                balance=True, saturate=True,
+                balance=True, saturate=True, striped=True,
             )
-            for it in range(start + 1, cfg.iters + 1):
-                if slot_runner.envelope_ok(cfg.eta_at(it)):
-                    switch_it = it
-                    break
-            if switch_it is None:
-                slot_runner = None
-        if slot_runner is None:
+            s2 = first_env_epoch(striped)
+            plain = s1 = None
+            if s2 is None or s2 > start + 1:
+                # Striping's taller window delays its engage epoch: a plain
+                # slot plan covers the middle epochs.
+                plain = SlotEpochRunner(
+                    train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
+                    balance=True, saturate=True,
+                )
+                s1 = first_env_epoch(plain)
+                if s1 is None or (s2 is not None and s1 >= s2):
+                    plain = s1 = None
+            if plain is not None:
+                phases.append((s1, plain))
+            if s2 is not None:
+                phases.append((s2, striped))
+                if phases[0][0] > start + 1 or len(phases) > 1:
+                    log(f"# delta-striped slot columns engage at epoch {s2} "
+                        f"(eta {cfg.eta_at(s2):g})")
+        if not phases:
             log("# slot kernel staleness envelope exceeded at every epoch's "
                 "eta; using the lane-packed kernel")
-    if slot_runner is not None and switch_it <= start + 1:
-        return slot_runner, slot_runner, switch_it
-    if slot_runner is not None:
-        log(f"# slot kernel envelope clears at epoch {switch_it} "
-            f"(eta {cfg.eta_at(switch_it):g}); packed kernel until then")
+    if phases and phases[0][0] <= start + 1:
+        return phases
+    if phases:
+        log(f"# slot kernel envelope clears at epoch {phases[0][0]} "
+            f"(eta {cfg.eta_at(phases[0][0]):g}); packed kernel until then")
 
     if packed_eligible(params, cfg.batch_size):
         # Small rank: the lane-packed kernel (P rows per 128-lane register)
@@ -292,7 +335,7 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
             train_ds, tile_u=tu, tile_v=tv, batch=b, seed=cfg.seed,
             n_plans=n_plans, balance=True, saturate=True,
         )
-    return runner, slot_runner, switch_it
+    return [(start + 1, runner)] + phases
 
 
 def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFParams:
@@ -303,19 +346,21 @@ def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFPar
     src/mf.h:37-44; rotation strictly improves on that). Kernel choice and
     the mid-run packed->slot switch: _pick_mf_runners.
     """
-    runner, slot_runner, switch_it = _pick_mf_runners(
-        cfg, train_ds, params, log, start
-    )
+    sched = _mf_runner_schedule(cfg, train_ds, params, log, start)
+    runner = sched[0][1]
+    upcoming = list(sched[1:])
     tables = runner.pad(params)
     gb = float(params.gb)
     t0 = time.perf_counter()
     for it in range(start + 1, cfg.iters + 1):
-        if slot_runner is not None and it >= switch_it and runner is not slot_runner:
-            # eta has decayed into the slot kernel's staleness envelope:
+        while upcoming and it >= upcoming[0][0]:
+            # eta has decayed into the next kernel's staleness envelope:
             # hand the tables over to the faster kernel mid-run.
-            log(f"# eta in slot-kernel envelope from epoch {it}; switching")
-            tables = slot_runner.pad(runner.trim(tables))
-            runner = slot_runner
+            nxt = upcoming.pop(0)[1]
+            log(f"# epoch {it}: switching to {type(nxt).__name__}"
+                f"{' (striped)' if getattr(nxt, 'striped', False) else ''}")
+            tables = nxt.pad(runner.trim(tables))
+            runner = nxt
         tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam, gb, epoch_idx=it)
         jax.block_until_ready(tables[0])
         elapsed = time.perf_counter() - t0
