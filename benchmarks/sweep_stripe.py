@@ -6,7 +6,10 @@ class), breaking the nb >= n_gu*n_gv floor and letting sub grow into the
 MXU's flat-in-M regime (probe_segmm). This sweep measures both kernels on
 the CALIBRATED Zipf-Mandelbrot marginals at ML-10M or Netflix shape.
 
-Usage: sweep_stripe.py [CONFIG] [SUBS...]   (CONFIG: ml10m | netflix)
+Usage: sweep_stripe.py [CONFIG] [CASES...]   (CONFIG: ml10m | netflix)
+Each CASE is "sub" or "sub:tile" (tile defaults 1024) or "plain" (the
+un-striped slot kernel at auto sub, tile 1024) — striped-only by default
+since the plain Netflix number is recorded (PERF_NOTES round 3: 558.5M/s).
 """
 import sys
 import time
@@ -21,7 +24,7 @@ from tpu_mf.models.mf import init_mf
 from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner
 
 CONFIG = sys.argv[1] if len(sys.argv) > 1 else "ml10m"
-SUBS = [int(a) for a in sys.argv[2:]]
+CASES = sys.argv[2:]
 shapes = {
     "ml10m": (69_878, 10_677, 10_000_000),
     "netflix": (480_189, 17_770, 100_000_000),
@@ -51,21 +54,26 @@ def main():
         zipf=1.0, zipf_q=50.0, zipf_u=1.0, zipf_uq=250.0)
     params = init_mf(jax.random.PRNGKey(0), nu, nv, DIM, gb=ds.mean_rating())
 
-    cases = [("slot ", dict(striped=False, sub=None))]
-    for sub in (SUBS or [None]):
-        cases.append((f"strip", dict(striped=True, sub=sub)))
-    for name, kw in cases:
+    cases = []
+    for c in (CASES or ["plain", "256", "512"]):
+        if c == "plain":
+            cases.append(("slot ", 1024, dict(striped=False, sub=None)))
+            continue
+        sub, _, tile = c.partition(":")
+        cases.append((f"strip", int(tile or 1024),
+                      dict(striped=True, sub=int(sub))))
+    for name, tile, kw in cases:
         t_build = time.perf_counter()
         with warnings.catch_warnings():
             warnings.simplefilter("ignore")
             r = SlotEpochRunner(
-                ds, tile_u=1024, tile_v=1024, seed=1, dim=DIM,
+                ds, tile_u=tile, tile_v=tile, seed=1, dim=DIM,
                 balance=True, saturate=True, theta_groups=1, phi_groups=1,
                 **kw)
         t_build = time.perf_counter() - t_build
         dt, fin = bench(r, params)
         nb = r.plan.u.shape[0]
-        print(f"{name} sub={r.sub:4d}: {r.plan.n_real/dt/1e6:7.1f}M/s  "
+        print(f"{name} t{tile} sub={r.sub:4d}: {r.plan.n_real/dt/1e6:7.1f}M/s  "
               f"{dt*1e6/nb:7.2f}us/batch nb={nb} "
               f"fill={r.plan.n_real/r.n_slots:.3f} finite={fin} "
               f"build={t_build:.0f}s", flush=True)

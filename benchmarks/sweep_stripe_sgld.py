@@ -6,7 +6,11 @@ ML-10M rank 8; the noise-stubbed ceiling was 321M/s at sub 384. Striping
 marginals by breaking the nb >= n_gu*n_gv floor and growing sub into the
 MXU's flat-in-M regime — this sweep measures whether SGLD follows.
 
-Usage: sweep_stripe_sgld.py [SUBS...] (striped subs; default 256 384 512)
+Usage: sweep_stripe_sgld.py [CASES...]
+Each CASE is "sub" (striped, noise ring), "sub:prng" (striped, in-kernel
+Box-Muller), "plain" / "plain:prng" (un-striped at auto-ish sub 320).
+Default: plain:prng plain 256 384 512 — one run covers both the VERDICT-#7
+noise-ring delta and the striping delta.
 """
 import sys, time
 
@@ -17,7 +21,7 @@ from bench import calibrated_ml10m
 from tpu_mf.models.dpmf import init_dpmf
 from tpu_mf.ops.pallas_sgld_slot import SlotSgldRunner
 
-SUBS = [int(a) for a in sys.argv[1:]] or [256, 384, 512]
+CASES = sys.argv[1:] or ["plain:prng", "plain", "256", "384", "512"]
 
 ds = calibrated_ml10m()
 state = init_dpmf(jax.random.PRNGKey(0), ds, 8, gb=float(ds.mean_rating()))
@@ -27,8 +31,18 @@ temp, bound = 1e-11, 1.0
 scal = eta * ntrain * bound * float(state.lambda_r)
 gb = float(state.params.gb)
 
-cases = [("plain", dict(striped=False, sub=320))]
-cases += [(f"strip", dict(striped=True, sub=s)) for s in SUBS]
+cases = []
+for c in CASES:
+    base, _, tag = c.partition(":")
+    ring = tag != "prng"
+    kw = dict(noise_ring=ring)
+    if base == "plain":
+        kw.update(striped=False, sub=320)
+        name = "plain"
+    else:
+        kw.update(striped=True, sub=int(base))
+        name = "strip"
+    cases.append((name + ("+ring" if ring else "+prng"), kw))
 for name, kw in cases:
     try:
         t_build = time.perf_counter()

@@ -60,7 +60,7 @@ def _slot_sgld_kernel(
     # scalar prefetch
     gu_ref, gv_ref, ap_ref, cum_lo_ref, cum_hi_ref, seed_ref, hyper_ref,
     # blocked inputs
-    uv_ref, uvt_ref, r_ref, theta_ref, lam_ref,
+    uv_ref, uvt_ref, r_ref, theta_ref, lam_ref, ring_ref,
     # HBM-resident input (aliased with the resident output)
     phi_hbm,
     # outputs
@@ -69,7 +69,7 @@ def _slot_sgld_kernel(
     acc, sem,
     *, tile_u: int, tile_v: int, sub: int, dim: int, pack: int,
     mxu_dtype, dma_seed: bool = True, saturate: bool = False,
-    noise_every: int = 1, striped: bool = False,
+    noise_every: int = 1, striped: bool = False, noise_ring: bool = True,
 ):
     P = pack
     m = LANES // P
@@ -99,7 +99,8 @@ def _slot_sgld_kernel(
     def _():
         theta_out[:] = theta_ref[:]
 
-    pltpu.prng_seed(seed_ref[0] + i)
+    if not noise_ring:
+        pltpu.prng_seed(seed_ref[0] + i)
 
     uv3 = uv_ref[0]
     uvt3 = uvt_ref[0]
@@ -157,7 +158,7 @@ def _slot_sgld_kernel(
     end_lo = cum_lo_ref[i].astype(jnp.float32)  # clock at batch START
     end_hi = cum_hi_ref[i].astype(jnp.float32)
 
-    def apply_tile(tab, a, lamv, m_bias_t, rows, with_noise):
+    def apply_tile(tab, a, lamv, m_bias_t, rows, with_noise, site=0):
         """Decay + delta (+ noise + stamp) for one tile from accumulated a.
 
         with_noise is a PYTHON bool: noise generation (Box-Muller PRNG over
@@ -168,7 +169,18 @@ def _slot_sgld_kernel(
         clock - stamp whenever noise IS drawn, so the per-row variance
         telescopes to temp*eta*elapsed regardless of injection schedule —
         the same lazy-noise argument as the reference's inject-at-next-touch
-        (dpmf.h:61-70); finish_noise absorbs any round-end remainder."""
+        (dpmf.h:61-70); finish_noise absorbs any round-end remainder.
+
+        noise_ring: pl.when branch VALUES execute unconditionally in this
+        Mosaic version, so the Box-Muller chain ran at EVERY apply no matter
+        the cadence (measured: ne=inf == ne=8 ~= 242M/s vs 321 with noise
+        stubbed). The ring replaces in-kernel PRNG+transcendentals with one
+        dynamic slice of a per-epoch standard-normal table (regenerated from
+        noise_seed each epoch on the XLA side) — the TPU analog of the
+        reference's pre-generated noise ring (src/model.cc:229-231), with
+        the slice offset mixed per (batch, tile, seed). ``site`` is the
+        per-call-site scalar (tile base row) decorrelating same-batch
+        applies."""
         k_b = jnp.dot(a, CB, preferred_element_type=jnp.float32)  # counts
         if saturate:
             # Per-(row, slot) window-step saturation (pallas_sgd.sat_scale):
@@ -196,7 +208,14 @@ def _slot_sgld_kernel(
         std = jnp.sqrt(
             jnp.maximum(temp * eta * (dhi * LO_BASE + dlo), 0.0)
         ) * touched
-        noise = std * _normals((rows, LANES)) * m_kept
+        if noise_ring:
+            nq = 1 << (((ring_ref.shape[0] - rows) // 8).bit_length() - 1)
+            v = i * jnp.int32(40503) + site * jnp.int32(25253) + seed_ref[0]
+            q = (v ^ (v >> 7)) & jnp.int32(nq - 1)
+            nz = ring_ref[pl.ds(pl.multiple_of(q * 8, 8), rows), :]
+        else:
+            nz = _normals((rows, LANES))
+        noise = std * nz * m_kept
         stamp = touched * (dlo * m_gcl + dhi * m_gch)
         return out + noise + stamp
 
@@ -307,13 +326,15 @@ def _slot_sgld_kernel(
         def _(off=off, phi=phi):
             a = acc[pl.ds(off, tile_v), :]
             phi_out[pl.ds(off, tile_v), :] = apply_tile(
-                phi, a, lam_v, m_bias_v, tile_v, True
+                phi, a, lam_v, m_bias_v, tile_v, True, site=off
             )
             acc[pl.ds(off, tile_v), :] = jnp.zeros_like(a)
 
+    site_u = gu_ref[i] * tile_u + 1
     if noise_every == 1:
         theta_out[:] = apply_tile(
-            theta, theta_acc * MC_u, lam_u, m_bias_u, tile_u, True
+            theta, theta_acc * MC_u, lam_u, m_bias_u, tile_u, True,
+            site=site_u,
         )
     else:
         nzb = jnp.mod(i, noise_every) == noise_every - 1
@@ -321,7 +342,8 @@ def _slot_sgld_kernel(
         @pl.when(nzb)
         def _():
             theta_out[:] = apply_tile(
-                theta, theta_acc * MC_u, lam_u, m_bias_u, tile_u, True
+                theta, theta_acc * MC_u, lam_u, m_bias_u, tile_u, True,
+                site=site_u,
             )
 
         @pl.when(jnp.logical_not(nzb))
@@ -336,7 +358,7 @@ def _slot_sgld_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "sub", "dim", "pack", "n_gu", "n_gv", "mxu",
-        "interpret", "saturate", "noise_every", "striped",
+        "interpret", "saturate", "noise_every", "striped", "noise_ring",
     ),
 )
 def _run_slot_sgld_epoch(
@@ -344,6 +366,7 @@ def _run_slot_sgld_epoch(
     gu, gv, ap, cum_lo, cum_hi, seed, hyper, lamvec, uv, uvt, r,
     *, tile_u, tile_v, sub, dim, pack, n_gu, n_gv, mxu="bfloat16",
     interpret=False, saturate=False, noise_every=1, striped=False,
+    noise_ring=True,
 ):
     nb = uv.shape[0]
     gv = gv.reshape(-1)
@@ -353,11 +376,22 @@ def _run_slot_sgld_epoch(
         f"slot SGLD plan metadata ({nb} batches) exceeds SMEM; raise sub or "
         "shard the epoch (--mesh/--stream)"
     )
+    if noise_ring:
+        # Per-epoch standard-normal ring, VMEM-resident (2 MB at tile
+        # 1024): replaces in-kernel Box-Muller (see apply_tile docstring;
+        # reference analog src/model.cc:229-231). Fresh table every epoch
+        # from noise_seed; in-kernel slice offsets mix (batch, tile, seed).
+        n_ring = 4 * max(tile_u, tile_v)
+        ring = jax.random.normal(
+            jax.random.PRNGKey(seed[0]), (n_ring, LANES), jnp.float32
+        )
+    else:
+        ring = jnp.zeros((8, LANES), jnp.float32)
     kernel = functools.partial(
         _slot_sgld_kernel,
         tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
         mxu_dtype=jnp.dtype(mxu), dma_seed=not interpret, saturate=saturate,
-        noise_every=noise_every, striped=striped,
+        noise_every=noise_every, striped=striped, noise_ring=noise_ring,
     )
     lanes8 = 8 * pack
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -369,6 +403,9 @@ def _run_slot_sgld_epoch(
             pl.BlockSpec((1, sub, lanes8), lambda i, *_: (i, 0, 0)),
             pl.BlockSpec((tile_u, LANES), lambda i, gu, *_: (gu[i], 0)),
             pl.BlockSpec((2, LANES), lambda i, *_: (0, 0)),   # lambda vecs
+            pl.BlockSpec(                                     # noise ring
+                (ring.shape[0], LANES), lambda i, *_: (0, 0)
+            ),
             (
                 pl.BlockSpec((n_gv * tile_v, LANES), lambda i, *_: (0, 0))
                 if interpret
@@ -394,11 +431,12 @@ def _run_slot_sgld_epoch(
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ),
-        # operands incl. 7 scalar-prefetch args: uv=7..., theta=10, phi=12
-        input_output_aliases={10: 0, 12: 1},
+        # operands incl. 7 scalar-prefetch args: uv=7..., theta=10, ring=12,
+        # phi=13
+        input_output_aliases={10: 0, 13: 1},
         interpret=pltpu.InterpretParams() if interpret else False,
     )(gu, gv, ap, cum_lo, cum_hi, seed, hyper, uv, uvt, r,
-      theta_s, lamvec, phi_s)
+      theta_s, lamvec, ring, phi_s)
     return theta_s, phi_s
 
 
@@ -508,11 +546,17 @@ class SlotSgldRunner:
         saturate: bool = False,
         noise_every: int = 8,
         striped: bool = False,
+        noise_ring: bool = True,
     ):
         # Per-(row, slot) window-step saturation (see _slot_sgld_kernel):
         # bounds head-row steps so the batch-granular apply stays stable at
         # any duplicate count — production always enables it.
         self.saturate = saturate
+        # Per-epoch VMEM noise ring vs in-kernel Box-Muller (see
+        # _slot_sgld_kernel.apply_tile). False = the PRNG path (on-chip
+        # moment tests target it; TPU-only — interpret-mode prng_random_bits
+        # returns zeros, while the ring works under interpretation too).
+        self.noise_ring = noise_ring
         # Noise-injection cadence in batches (see apply_tile): per-apply
         # Box-Muller over full tiles measured 34% of the step; stamps keep
         # the lagged variance telescoping exact. 1 = reference-granular
@@ -665,6 +709,7 @@ class SlotSgldRunner:
             n_gu=plan.n_gu, n_gv=plan.n_gv,
             mxu=self.mxu, interpret=self.interpret, saturate=self.saturate,
             noise_every=self.noise_every, striped=self.striped,
+            noise_ring=self.noise_ring,
         )
 
     def unpack(self, state: DPMFState, tables) -> DPMFState:
