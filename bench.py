@@ -40,15 +40,39 @@ def _time_epochs(runner, tables, eta, lam, gb, reps=5):
     return (time.perf_counter() - t0) / reps
 
 
-def calibrated_ml10m(n=10_000_000, seed=0):
-    """ML-10M stand-in with the gate-matched calibration (ML10M_STUDY.md)."""
-    from tpu_mf.data.coo import synthetic_ratings
+def calibrated_ds(nu, nv, n, seed=0):
+    """Zipf-Mandelbrot stand-in at any shape, with the gate-matched
+    calibration (benchmarks/ML10M_STUDY.md).
 
-    return synthetic_ratings(
-        69_878, 10_677, n, rank=8, seed=seed,
+    Disk-cached (~/.cache/tpu_mf/data): generation is ~3 CPU-min per 10M
+    ratings on a 1-core host and every benchmark sweep starts here."""
+    import os
+
+    import numpy as np
+
+    from tpu_mf.data.coo import RatingsCOO, synthetic_ratings
+
+    cache = os.path.expanduser(
+        f"~/.cache/tpu_mf/data/cal.{nu}.{nv}.{n}.{seed}.npz"
+    )
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return RatingsCOO(u=z["u"], v=z["v"], r=z["r"], nu=nu, nv=nv)
+    ds = synthetic_ratings(
+        nu, nv, n, rank=8, seed=seed,
         noise=0.76, signal=1.0, bias_std=0.38,
         zipf=1.0, zipf_q=50.0, zipf_u=1.0, zipf_uq=250.0,
     )
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = cache + ".tmp.npz"
+    np.savez(tmp, u=ds.u, v=ds.v, r=ds.r)
+    os.replace(tmp, cache)
+    return ds
+
+
+def calibrated_ml10m(n=10_000_000, seed=0):
+    """ML-10M-shaped calibrated stand-in (see calibrated_ds)."""
+    return calibrated_ds(69_878, 10_677, n, seed)
 
 
 def _production_number(cfg, ds, params, extra_prefix, extra):

@@ -19,7 +19,6 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
-from tpu_mf.data.coo import synthetic_ratings
 from tpu_mf.models.mf import init_mf
 from tpu_mf.ops.pallas_sgd_slot import SlotEpochRunner
 
@@ -48,20 +47,25 @@ def bench(runner, params, reps=5):
 
 
 def main():
+    from bench import calibrated_ds
+
     nu, nv, n = shapes[CONFIG]
-    ds = synthetic_ratings(
-        nu, nv, n, rank=8, seed=0, noise=0.76, signal=1.0, bias_std=0.38,
-        zipf=1.0, zipf_q=50.0, zipf_u=1.0, zipf_uq=250.0)
+    ds = calibrated_ds(nu, nv, n)
     params = init_mf(jax.random.PRNGKey(0), nu, nv, DIM, gb=ds.mean_rating())
 
     cases = []
-    for c in (CASES or ["plain", "256", "512"]):
+    # First measured case in a fresh process runs ~3x slow through the
+    # tunnel (time-based warmup); sacrifice a copy of the first case.
+    todo = list(CASES or ["plain", "256", "512"])
+    todo = todo[:1] + todo
+    for c in todo:
         if c == "plain":
             cases.append(("slot ", 1024, dict(striped=False, sub=None)))
             continue
         sub, _, tile = c.partition(":")
         cases.append((f"strip", int(tile or 1024),
                       dict(striped=True, sub=int(sub))))
+    cases[0] = ("WARM ", cases[0][1], cases[0][2])
     for name, tile, kw in cases:
         t_build = time.perf_counter()
         with warnings.catch_warnings():

@@ -31,6 +31,10 @@ temp, bound = 1e-11, 1.0
 scal = eta * ntrain * bound * float(state.lambda_r)
 gb = float(state.params.gb)
 
+# The first measured case in a fresh process runs ~3x slow through the
+# TPU tunnel even after its own warm epoch (time-based, not compile);
+# prepend a sacrificial copy of the first case and discard its number.
+CASES = CASES[:1] + CASES
 cases = []
 for c in CASES:
     base, _, tag = c.partition(":")
@@ -43,6 +47,7 @@ for c in CASES:
         kw.update(striped=True, sub=int(base))
         name = "strip"
     cases.append((name + ("+ring" if ring else "+prng"), kw))
+cases[0] = ("WARMUP(discard)", cases[0][1])
 for name, kw in cases:
     try:
         t_build = time.perf_counter()

@@ -1024,10 +1024,15 @@ def train_dpmf(
             # zipfy marginals (where the cell layout concentrates a head
             # row's ratings into one batch, k in the hundreds) and as the
             # Gibbs lambda_r grows scal between rounds.
+            # striped: delta-striped columns break the nb >= n_gu*n_gv
+            # floor (pallas_sgd_slot.prepare_cells_stripe); with the VMEM
+            # noise ring, calibrated ML-10M rank 8 measured plain 295M/s
+            # vs striped 380M/s at the auto sub (round 4,
+            # benchmarks/sweep_stripe_sgld.py).
             sgld_runner = SlotSgldRunner(
                 train_ds, seed=cfg.seed, dim=cfg.dim,
                 n_plans=2 if cfg.iters > 1 else 1, balance=True,
-                saturate=True,
+                saturate=True, striped=True,
             )
             slot_is_active = True
         elif sgld_pallas_eligible(state, ntrain):
