@@ -1,4 +1,4 @@
-"""TPU sweep: delta-striped slot columns vs the plain slot kernel.
+"""TPU sweep: delta-striped slot columns vs the plain slot kernel (SGD).
 
 The striped plan (prepare_cells_stripe) packs all P delta classes of a
 (user-tile, item-tile) pair into shared columns (one sublane segment per
@@ -6,10 +6,13 @@ class), breaking the nb >= n_gu*n_gv floor and letting sub grow into the
 MXU's flat-in-M regime (probe_segmm). This sweep measures both kernels on
 the CALIBRATED Zipf-Mandelbrot marginals at ML-10M or Netflix shape.
 
+Measurement protocol: the tunnel runs slow for the first MINUTES of a
+process, so build + warm EVERY case first, then run ROUNDS timing rounds
+over all cases and report the best per case.
+
 Usage: sweep_stripe.py [CONFIG] [CASES...]   (CONFIG: ml10m | netflix)
-Each CASE is "sub" or "sub:tile" (tile defaults 1024) or "plain" (the
-un-striped slot kernel at auto sub, tile 1024) — striped-only by default
-since the plain Netflix number is recorded (PERF_NOTES round 3: 558.5M/s).
+Each CASE is "sub" or "sub:tile" (tile defaults 1024) or "plain[:tile]"
+(the un-striped slot kernel at auto sub).
 """
 import sys
 import time
@@ -30,20 +33,7 @@ shapes = {
 }
 DIM = 8
 ETA, LAM = 2e-2, 5e-3
-
-
-def bench(runner, params, reps=5):
-    tables = runner.pad(params)
-    gb = float(params.gb)
-    tables = runner.epoch(tables, ETA, LAM, gb)
-    _ = float(jnp.sum(tables[0]))
-    t0 = time.perf_counter()
-    for i in range(reps):
-        tables = runner.epoch(tables, ETA, LAM, gb, epoch_idx=i)
-    tot = float(jnp.sum(tables[0]))
-    dt = (time.perf_counter() - t0) / reps
-    import math
-    return dt, math.isfinite(tot)
+ROUNDS, REPS = 3, 4
 
 
 def main():
@@ -52,20 +42,19 @@ def main():
     nu, nv, n = shapes[CONFIG]
     ds = calibrated_ds(nu, nv, n)
     params = init_mf(jax.random.PRNGKey(0), nu, nv, DIM, gb=ds.mean_rating())
+    gb = float(params.gb)
 
     cases = []
-    # First measured case in a fresh process runs ~3x slow through the
-    # tunnel (time-based warmup); sacrifice a copy of the first case.
-    todo = list(CASES or ["plain", "256", "512"])
-    todo = todo[:1] + todo
-    for c in todo:
-        if c == "plain":
-            cases.append(("slot ", 1024, dict(striped=False, sub=None)))
-            continue
-        sub, _, tile = c.partition(":")
-        cases.append((f"strip", int(tile or 1024),
-                      dict(striped=True, sub=int(sub))))
-    cases[0] = ("WARM ", cases[0][1], cases[0][2])
+    for c in (CASES or ["plain", "384", "512"]):
+        base, _, tile = c.partition(":")
+        if base == "plain":
+            cases.append(("slot ", int(tile or 1024),
+                          dict(striped=False, sub=None)))
+        else:
+            cases.append(("strip", int(tile or 1024),
+                          dict(striped=True, sub=int(base))))
+
+    runners = []
     for name, tile, kw in cases:
         t_build = time.perf_counter()
         with warnings.catch_warnings():
@@ -75,13 +64,39 @@ def main():
                 balance=True, saturate=True, theta_groups=1, phi_groups=1,
                 **kw)
         t_build = time.perf_counter() - t_build
-        dt, fin = bench(r, params)
+        tables = r.epoch(r.pad(params), ETA, LAM, gb)  # compile + warm
+        _ = float(jnp.sum(tables[0]))
+        print(f"built {name} t{tile} sub={r.sub} ({t_build:.0f}s)",
+              flush=True)
+        # epoch() donates its table operands: keep live buffers in a dict.
+        runners.append(dict(name=name, tile=tile, r=r, tables=tables,
+                            best=float("inf")))
+
+    for rnd in range(ROUNDS):
+        for c in runners:
+            r, tables = c["r"], c["tables"]
+            # 2 untimed epochs: consecutive same-kernel epochs are the
+            # production shape; the first epochs after a kernel switch
+            # measure the switch, not the kernel.
+            for i in range(2):
+                tables = r.epoch(tables, ETA, LAM, gb, epoch_idx=i)
+            _ = float(jnp.sum(tables[0]))
+            t0 = time.perf_counter()
+            for i in range(REPS):
+                tables = r.epoch(tables, ETA, LAM, gb, epoch_idx=i)
+            _ = float(jnp.sum(tables[0]))
+            c["best"] = min(c["best"], (time.perf_counter() - t0) / REPS)
+            c["tables"] = tables
+
+    for c in runners:
+        r = c["r"]
+        fin = bool(jnp.isfinite(jnp.sum(c["tables"][0])))
         nb = r.plan.u.shape[0]
-        print(f"{name} t{tile} sub={r.sub:4d}: {r.plan.n_real/dt/1e6:7.1f}M/s  "
-              f"{dt*1e6/nb:7.2f}us/batch nb={nb} "
-              f"fill={r.plan.n_real/r.n_slots:.3f} finite={fin} "
-              f"build={t_build:.0f}s", flush=True)
-        del r
+        dt = c["best"]
+        print(f"{c['name']} t{c['tile']} sub={r.sub:4d}: "
+              f"{r.plan.n_real/dt/1e6:7.1f}M/s  {dt*1e6/nb:7.2f}us/batch "
+              f"nb={nb} fill={r.plan.n_real/r.n_slots:.3f} finite={fin}",
+              flush=True)
 
 
 if __name__ == "__main__":

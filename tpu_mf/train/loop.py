@@ -1298,10 +1298,14 @@ def _train_admf_impl(
             # kernel: cheap pigeonhole pre-gate, exact per-plan stats after.
             lb, _ = slot_dup_lower_bound(train_ds, dim=cfg.dim, balance=True)
             if cfg.eta_at(1) * lb <= 0.2:
+                # striped: calibrated ML-10M rank 8 measured plain 326M/s
+                # vs striped 400-407M/s at the auto sub (round 4,
+                # benchmarks/sweep_stripe_adreg.py); the dup-window stats
+                # below are layout-valid for striped plans (slot_col_ids).
                 runner = SlotAdRegRunner(
                     train_ds, valid_ds, seed=cfg.seed, loss=cfg.loss,
                     n_plans=2 if cfg.iters > 1 else 1, dim=cfg.dim,
-                    balance=True,
+                    balance=True, striped=True,
                 )
                 if cfg.eta_at(1) * runner._dup_max[8] > 0.2 or (
                     cfg.eta_at(1) * runner._vdup_max[8] > 0.2
