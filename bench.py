@@ -12,9 +12,13 @@ Honesty rules (round-3 VERDICT #3):
   the real dataset: top item ~0.36%, top user ~0.07% of ratings —
   benchmarks/ML10M_STUDY.md), not uniform marginals.
 * Every number reported is measured on the kernel the PRODUCTION path
-  (train.loop._pick_mf_runners) selects for that configuration at the
+  (train.loop._mf_runner_schedule) selects for that configuration at the
   default CLI hyperparameters, evaluated at the eta of the epoch actually
   running that kernel — never on a kernel the envelope would refuse.
+* Timing protocol (round 4): the tunneled chip runs ~3x slow for the
+  first minutes of a process, so every kernel is built+warmed first, then
+  timed over 3 interleaved rounds with 2 untimed epochs after each kernel
+  switch, keeping each kernel's best round (_run_tasks).
 
 Headline config: ML-10M scale (nu=69878, nv=10677, 10M ratings), rank 64
 (BASELINE.json configs[2] shape). "extra" records rank 8 (the small-rank
@@ -26,18 +30,6 @@ path off-TPU.
 
 import json
 import time
-
-
-def _time_epochs(runner, tables, eta, lam, gb, reps=5):
-    import jax.numpy as jnp
-
-    tables = runner.epoch(tables, eta, lam, gb)  # compile + warm
-    _ = float(jnp.sum(tables[0]))
-    t0 = time.perf_counter()
-    for i in range(reps):
-        tables = runner.epoch(tables, eta, lam, gb, epoch_idx=i)
-    _ = float(jnp.sum(tables[0]))
-    return (time.perf_counter() - t0) / reps
 
 
 def calibrated_ds(nu, nv, n, seed=0):
@@ -75,26 +67,47 @@ def calibrated_ml10m(n=10_000_000, seed=0):
     return calibrated_ds(69_878, 10_677, n, seed)
 
 
-def _production_number(cfg, ds, params, extra_prefix, extra):
-    """Measure the steady-state kernel the production path runs for cfg, at
-    the eta of the epoch where it engages. Returns (updates/s, schedule)."""
-    from tpu_mf.train.loop import _mf_runner_schedule
-
-    logs = []
-    sched = _mf_runner_schedule(cfg, ds, params, logs.append)
-    # The steady-state production kernel: the schedule's last phase.
-    engage, kernel = sched[-1]
+def _kernel_name(kernel):
     name = type(kernel).__name__
     if getattr(kernel, "striped", False):
         name += " striped"
-    extra[f"{extra_prefix}_kernel"] = name
-    if len(sched) > 1:
-        extra[f"{extra_prefix}_engaged_epoch"] = engage
-    tables = kernel.pad(params)
-    dt = _time_epochs(
-        kernel, tables, cfg.eta_at(engage), cfg.lam, float(params.gb)
-    )
-    return kernel.plan.n_real / dt, sched
+    return name
+
+
+class _Task:
+    """One timed kernel: build + warm first, time later (see _run_tasks)."""
+
+    def __init__(self, label, step, tables, n_real):
+        self.label, self.step, self.tables, self.n_real = (
+            label, step, tables, n_real)
+        self.best = float("inf")
+
+
+def _run_tasks(tasks, rounds=3, reps=4):
+    """Best per-epoch time per task, interleaved rounds with rewarm.
+
+    The tunneled chip runs ~3x slow for the first minutes of a process and
+    kernel switches cost ~5-10% (CLAUDE.md): warm every task once
+    (compile), then per round run 2 untimed epochs after the switch and
+    time `reps`; keep each task's best round."""
+    import jax.numpy as jnp
+
+    for t in tasks:
+        t.tables = t.step(t.tables, 0)  # compile + warm
+        _ = float(jnp.sum(t.tables[0]))
+    for _rnd in range(rounds):
+        for t in tasks:
+            tables = t.tables
+            for i in range(2):
+                tables = t.step(tables, i)
+            _ = float(jnp.sum(tables[0]))
+            t0 = time.perf_counter()
+            for i in range(reps):
+                tables = t.step(tables, i)
+            _ = float(jnp.sum(tables[0]))
+            t.best = min(t.best, (time.perf_counter() - t0) / reps)
+            t.tables = tables
+    return {t.label: t.n_real / t.best for t in tasks}
 
 
 def main() -> None:
@@ -111,20 +124,78 @@ def main() -> None:
     on_tpu = jax.default_backend() != "cpu"
     extra = {}
     if on_tpu:
+        from tpu_mf.train.loop import _mf_runner_schedule
+
         gb = float(ds.mean_rating())
+        tasks = []
 
-        # Headline: rank 64, whatever kernel production selects for it.
-        cfg64 = TrainConfig(dim=64, iters=15, eta=eta, lam=lam, gb=gb)
-        p64 = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 64, gb=gb)
-        ups, _ = _production_number(cfg64, ds, p64, "rank64", extra)
+        def mf_step(r, eta_at):
+            def step(tables, i):
+                return r.epoch(tables, eta_at, lam, gb, epoch_idx=i)
+            return step
+
+        # MF configs: rank 64 (headline), rank 8 (small-rank slot path,
+        # every schedule phase for the whole-run weighting), dim 128
+        # (reference CLI default, 256-lane rows).
+        scheds = {}
+        for key, dim in (("rank64", 64), ("rank8", 8), ("dim128", 128)):
+            cfg = TrainConfig(dim=dim, iters=15, eta=eta, lam=lam, gb=gb)
+            p = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, dim, gb=gb)
+            sched = _mf_runner_schedule(cfg, ds, p, lambda *_: None)
+            scheds[key] = (cfg, sched)
+            engage, kernel = sched[-1]
+            extra[f"{key}_kernel"] = _kernel_name(kernel)
+            if len(sched) > 1:
+                extra[f"{key}_engaged_epoch"] = engage
+            phases = sched if key == "rank8" else sched[-1:]
+            for ep, r in phases:
+                tasks.append(_Task(
+                    f"{key}@{ep}", mf_step(r, cfg.eta_at(max(1, ep))),
+                    r.pad(p), r.plan.n_real,
+                ))
+
+        # DP-SGLD and AdaptReg production kernels at rank 8 (the loop.py
+        # single-chip selections: slot-major, striped, saturated; SGLD
+        # with the VMEM noise ring).
+        from tpu_mf.models.admf import init_admf
+        from tpu_mf.models.dpmf import init_dpmf
+        from tpu_mf.ops.pallas_adreg_slot import SlotAdRegRunner
+        from tpu_mf.ops.pallas_sgld_slot import SlotSgldRunner
+
+        dstate = init_dpmf(jax.random.PRNGKey(0), ds, 8, gb=gb)
+        sgld_eta = 0.05 / (n * 100.0)
+        scal = sgld_eta * n * 1.0 * float(dstate.lambda_r)
+        hyper = (sgld_eta, 1e-11, 1.0, scal, gb)
+        sgld_r = SlotSgldRunner(ds, seed=0, dim=8, n_plans=1, balance=True,
+                                saturate=True, striped=True)
+        sgld_r.set_lambdas(dstate)
+        tasks.append(_Task(
+            "sgld",
+            lambda tables, i: sgld_r.epoch(
+                tables, 0, hyper, noise_seed=1 + i * sgld_r.seed_stride),
+            sgld_r.pad(dstate), sgld_r.plan.n_real,
+        ))
+
+        atrain, avalid = ds.split(0.05, seed=3)
+        astate = init_admf(jax.random.PRNGKey(0), atrain.nu, atrain.nv, 8,
+                           lam=0.05, gb=gb)
+        adreg_r = SlotAdRegRunner(atrain, avalid, seed=0, dim=8, n_plans=1,
+                                  balance=True, striped=True)
+        akey = jax.random.PRNGKey(9)
+        tasks.append(_Task(
+            "adreg",
+            lambda tables, i: adreg_r.epoch(
+                tables, 0.002, 0.01, akey, epoch_idx=i),
+            adreg_r.pad(astate), adreg_r.plan.n_real,
+        ))
+
+        rates = _run_tasks(tasks)
+        ups = rates[f"rank64@{scheds['rank64'][1][-1][0]}"]
         name = extra["rank64_kernel"]
-
-        # Small-rank production path (slot kernel behind its envelope
-        # schedule).
-        cfg8 = TrainConfig(dim=8, iters=15, eta=eta, lam=lam, gb=gb)
-        p8 = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 8, gb=gb)
-        ups8, sched8 = _production_number(cfg8, ds, p8, "rank8", extra)
-        extra["rank8_updates_per_s"] = round(ups8)
+        cfg8, sched8 = scheds["rank8"]
+        extra["rank8_updates_per_s"] = round(
+            rates[f"rank8@{sched8[-1][0]}"]
+        )
         # Whole-run honesty (round-3 VERDICT weak #2): the steady-state
         # number engages at the last phase's epoch; a default 15-epoch run
         # spends the earlier epochs on the slower phases. Report the
@@ -135,19 +206,15 @@ def main() -> None:
             for (ep, r), nxt in zip(sched8, bounds):
                 n_ep = min(cfg8.iters + 1, nxt) - max(1, ep)
                 if n_ep > 0:
-                    total += n_ep * _time_epochs(
-                        r, r.pad(p8), cfg8.eta_at(max(1, ep)), lam, gb,
-                        reps=3,
-                    )
+                    total += n_ep * r.plan.n_real / rates[f"rank8@{ep}"]
             extra["rank8_run_weighted_updates_per_s"] = round(
                 cfg8.iters * n / total
             )
-
-        # Reference default dim=128: the 256-lane fused kernel.
-        cfg128 = TrainConfig(dim=128, iters=15, eta=eta, lam=lam, gb=gb)
-        p128 = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 128, gb=gb)
-        ups128, _ = _production_number(cfg128, ds, p128, "dim128", extra)
-        extra["dim128_updates_per_s"] = round(ups128)
+        extra["dim128_updates_per_s"] = round(
+            rates[f"dim128@{scheds['dim128'][1][-1][0]}"]
+        )
+        extra["sgld_updates_per_s"] = round(rates["sgld"])
+        extra["adreg_updates_per_s"] = round(rates["adreg"])
     else:
         from tpu_mf.models.mf import init_mf as _init
         from tpu_mf.ops.sgd import sgd_epoch

@@ -87,3 +87,34 @@ def test_sharded_slot_eligibility():
     assert sharded_slot_eligible(p8, 8)
     p64 = init_mf(jax.random.PRNGKey(0), 1000, 1000, 64, gb=3.0)
     assert not sharded_slot_eligible(p64, 8)  # no slot packing at dim 64
+
+
+def test_sharded_slot_p1_striped_matches_single_runner():
+    """P=1 sharded STRIPED slot epoch == the single-chip striped runner
+    (prepare_cells_stripe per diagonal block; same plan seeds)."""
+    ds = synthetic_ratings(300, 200, 6000, rank=3, seed=0)
+    params = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 8, gb=3.0)
+    eta, lam = 0.02, 0.01
+    mesh = make_mesh(1)
+
+    sharded = ShardedSlotRunner(
+        ds, mesh, dim=8, sub=32, seed=3, mxu="float32", interpret=True,
+        theta_groups=8, phi_groups=8, striped=True,
+    )
+    st = sharded.pad(params)
+    st = sharded.epoch(st, eta, lam)
+    out_sharded = sharded.trim(st)
+
+    single = SlotEpochRunner(
+        ds, sub=32, seed=3 * 7919, mxu="float32", interpret=True,
+        theta_groups=8, phi_groups=8, dim=8, striped=True,
+    )
+    tb = single.pad(params)
+    tb = single.epoch(tb, eta, lam, 3.0)
+    out_single = single.trim(tb)
+
+    for f in ("theta", "phi", "bu", "bv"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_sharded, f)),
+            np.asarray(getattr(out_single, f)), atol=1e-5,
+        )

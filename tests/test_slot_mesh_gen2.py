@@ -189,3 +189,82 @@ def test_gen2_mesh_eligibility():
     a8 = init_admf(jax.random.PRNGKey(0), 480_189, 17_770, 8, lam=0.01,
                    gb=3.0)
     assert sharded_adreg_slot_eligible(a8, 8)
+
+
+def test_sharded_slot_sgld_p1_striped_matches_single_temp0():
+    """P=1 sharded STRIPED slot SGLD == single-chip striped runner
+    (striping reorganizes columns within a tile pair; clocks and stamps
+    must be unmoved)."""
+    ds = synthetic_ratings(300, 200, 6000, rank=3, seed=0)
+    state = init_dpmf(jax.random.PRNGKey(0), ds, 8)
+    eta, temp, bound = 1e-5, 0.0, 1.0
+    scal = eta * len(ds) * bound * float(state.lambda_r)
+    hyper = (eta, temp, bound, scal, float(state.params.gb))
+    mesh = make_mesh(1)
+
+    sharded = ShardedSlotSgldRunner(
+        ds, mesh, dim=8, sub=32, seed=3, mxu="float32", interpret=True,
+        tile=64, saturate=False, noise_every=1, striped=True,
+    )
+    st = sharded.pad(state)
+    st = sharded.epoch(st, 0, hyper, noise_seed=7)
+    out_sharded = sharded.unpack(state, st)
+
+    single = SlotSgldRunner(
+        ds, sub=32, seed=3 * 7919, mxu="float32", interpret=True, dim=8,
+        tile=64, saturate=False, noise_every=1, striped=True,
+    )
+    tb = single.pad(state)
+    tb = single.epoch(tb, 0, hyper, noise_seed=7)
+    out_single = single.unpack(state, tb)
+
+    for f in ("theta", "phi", "bu", "bv"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_sharded.params, f)),
+            np.asarray(getattr(out_single.params, f)), atol=1e-6,
+        )
+    np.testing.assert_array_equal(
+        np.asarray(out_sharded.gcountu), np.asarray(out_single.gcountu)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_sharded.gcountv), np.asarray(out_single.gcountv)
+    )
+
+
+def test_sharded_slot_adreg_p1_striped_matches_single():
+    """P=1 sharded STRIPED slot AdaptReg == single-chip striped runner at
+    segments=1 (same plan seed, same validation sampling keys)."""
+    ds = synthetic_ratings(300, 200, 6000, rank=3, seed=0)
+    valid = synthetic_ratings(300, 200, 500, rank=3, seed=9)
+    state = init_admf(jax.random.PRNGKey(0), ds.nu, ds.nv, 8, lam=0.01,
+                      gb=3.0)
+    eta, eta_reg = 0.02, 0.1
+    key = jax.random.PRNGKey(5)
+    mesh = make_mesh(1)
+
+    sharded = ShardedSlotAdRegRunner(
+        ds, valid, mesh, dim=8, sub=32, seed=3, mxu="float32",
+        interpret=True, tile=64, theta_groups=8, phi_groups=8, striped=True,
+    )
+    st = sharded.pad(state)
+    st = sharded.epoch(st, eta, eta_reg, key)
+    out_sharded = sharded.trim(st)
+    lams_sharded = np.asarray(sharded.lams)
+
+    single = SlotAdRegRunner(
+        ds, valid, sub=32, segments=1, seed=3 * 7919, mxu="float32",
+        interpret=True, dim=8, tile=64, theta_groups=8, phi_groups=8,
+        striped=True,
+    )
+    tb = single.pad(state)
+    tb = single.epoch(tb, eta, eta_reg, key)
+    out_single = single.trim(tb)
+
+    for f in ("theta", "phi", "bu", "bv"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_sharded, f)),
+            np.asarray(getattr(out_single, f)), atol=1e-5,
+        )
+    np.testing.assert_allclose(
+        lams_sharded, np.asarray(single.lams), atol=1e-6
+    )

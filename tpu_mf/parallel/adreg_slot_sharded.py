@@ -52,7 +52,7 @@ from tpu_mf.parallel.slot_common import (
 def _substep_fn(
     mesh: Mesh, n_dev: int, tile: int, sub: int, dim: int, pack: int,
     n_gu: int, n_gv: int, mxu: str, interpret: bool,
-    theta_groups: int, phi_groups: int, loss: int,
+    theta_groups: int, phi_groups: int, loss: int, striped: bool = False,
 ):
     spec_rows = PartitionSpec(AXIS)
     spec_data = PartitionSpec(AXIS)
@@ -66,6 +66,7 @@ def _substep_fn(
             tile_u=tile, tile_v=tile, sub=sub, dim=dim, pack=pack,
             n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
             theta_groups=theta_groups, phi_groups=phi_groups, loss=loss,
+            striped=striped,
         )
         phi_s = jax.lax.ppermute(phi_s, AXIS, perm)
         return theta_s, phi_s
@@ -104,7 +105,9 @@ class ShardedSlotAdRegRunner:
         balance: bool = False,
         theta_groups=None,
         phi_groups=None,
+        striped: bool = False,
     ):
+        self.striped = striped
         self.mesh = mesh
         self.n_dev = mesh.devices.size
         P = self.n_dev
@@ -135,7 +138,7 @@ class ShardedSlotAdRegRunner:
                 nu=train_ds.nu, nv=train_ds.nv,
             )
         self.diag = partition_slot_diagonal(
-            train_ds, P, tile, pack, sub, seed
+            train_ds, P, tile, pack, sub, seed, striped=striped
         )
         self.sub = self.diag.sub
         self._dup_max, self._vdup_max = diagonal_dup_stats(
@@ -234,7 +237,7 @@ class ShardedSlotAdRegRunner:
             fn = _substep_fn(
                 self.mesh, self.n_dev, self.tile, self.sub, self.dim,
                 self.pack, self.diag.n_gu, self.diag.n_gv, self.mxu,
-                self.interpret, tg, pg, self.loss,
+                self.interpret, tg, pg, self.loss, self.striped,
             )
             ks = jax.random.fold_in(key, s)
             sel = jax.random.randint(

@@ -35,7 +35,9 @@ from tpu_mf.ops.pallas_sgd_slot import (
     balance_dataset,
     pack_params_slot,
     pick_sub,
+    pick_sub_stripe,
     prepare_cells_slot,
+    prepare_cells_stripe,
     slot_col_ids,
     slot_packing_factor,
     unpack_params_slot,
@@ -57,6 +59,7 @@ def _slot_substep_fn(
     mesh: Mesh, n_dev: int, tile_u: int, tile_v: int, sub: int, dim: int,
     pack: int, n_gu: int, n_gv: int, mxu: str, interpret: bool,
     theta_groups: int, phi_groups: int, scatter_dg: bool,
+    striped: bool = False,
 ):
     spec_rows = PartitionSpec(AXIS)
     spec_data = PartitionSpec(AXIS)
@@ -69,7 +72,7 @@ def _slot_substep_fn(
             tile_u=tile_u, tile_v=tile_v, sub=sub, dim=dim, pack=pack,
             n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
             theta_groups=theta_groups, phi_groups=phi_groups,
-            scatter_dg=scatter_dg,
+            scatter_dg=scatter_dg, striped=striped,
         )
         phi_s = jax.lax.ppermute(phi_s, AXIS, perm)
         return theta_s, phi_s
@@ -108,7 +111,12 @@ class ShardedSlotRunner:
         scatter_dg: bool = False,
         tile: int | None = None,
         balance: bool = False,
+        striped: bool = False,
     ):
+        # Delta-striped per-block plans: striping reorganizes columns
+        # WITHIN a (user-tile, item-tile) pair, so chunk (device-shard)
+        # membership and diagonal disjointness are untouched.
+        self.striped = striped
         self.mesh = mesh
         self.n_dev = mesh.devices.size
         P = self.n_dev
@@ -156,10 +164,16 @@ class ShardedSlotRunner:
                 locals_[(p, s)] = local
                 c = _slot_bucket_counts(local, tile, tile, pack)
                 counts = c if counts is None else counts + c
-        self.sub = sub or pick_sub(counts, pack)
+        if sub:
+            self.sub = sub
+        elif striped:
+            self.sub = pick_sub_stripe(counts, pack, self.n_gv)
+        else:
+            self.sub = pick_sub(counts, pack)
+        builder = prepare_cells_stripe if striped else prepare_cells_slot
 
         plans = {
-            k: prepare_cells_slot(
+            k: builder(
                 v, tile, tile, self.sub, seed * 7919 + k[0] * P + k[1], pack
             )
             for k, v in locals_.items()
@@ -254,7 +268,7 @@ class ShardedSlotRunner:
             fn = _slot_substep_fn(
                 self.mesh, self.n_dev, self.tile_u, self.tile_v, self.sub,
                 self.dim, self.pack, self.n_gu, self.n_gv, self.mxu,
-                self.interpret, tg, pg, self.scatter_dg,
+                self.interpret, tg, pg, self.scatter_dg, self.striped,
             )
             gu, gv, uv, uvt, r = self.dev[s]
             tables = fn(

@@ -50,7 +50,7 @@ from tpu_mf.parallel.slot_common import (
 def _substep_fn(
     mesh: Mesh, n_dev: int, tile: int, sub: int, dim: int, pack: int,
     n_gu: int, n_gv: int, mxu: str, interpret: bool, saturate: bool,
-    noise_every: int,
+    noise_every: int, striped: bool = False,
 ):
     spec_rows = PartitionSpec(AXIS)
     spec_data = PartitionSpec(AXIS)
@@ -65,7 +65,7 @@ def _substep_fn(
             uv[0], uvt[0], r[0],
             tile_u=tile, tile_v=tile, sub=sub, dim=dim, pack=pack,
             n_gu=n_gu, n_gv=n_gv, mxu=mxu, interpret=interpret,
-            saturate=saturate, noise_every=noise_every,
+            saturate=saturate, noise_every=noise_every, striped=striped,
         )
         phi_s = jax.lax.ppermute(phi_s, AXIS, perm)
         return theta_s, phi_s
@@ -103,7 +103,9 @@ class ShardedSlotSgldRunner:
         balance: bool = False,
         saturate: bool = True,
         noise_every: int = 8,
+        striped: bool = False,
     ):
+        self.striped = striped
         self.mesh = mesh
         self.n_dev = mesh.devices.size
         P = self.n_dev
@@ -128,7 +130,8 @@ class ShardedSlotSgldRunner:
         self.saturate = saturate
         self.noise_every = max(1, int(noise_every))
         self.diag = partition_slot_diagonal(
-            train_ds, P, tile, pack, sub, seed, sub_scale=1.25
+            train_ds, P, tile, pack, sub, seed, sub_scale=1.25,
+            striped=striped,
         )
         self.sub = self.diag.sub
         self.n_real = self.diag.n_real
@@ -220,7 +223,7 @@ class ShardedSlotSgldRunner:
             fn = _substep_fn(
                 self.mesh, P, self.tile, self.sub, self.dim, self.pack,
                 self.diag.n_gu, self.diag.n_gv, self.mxu, self.interpret,
-                self.saturate, self.noise_every,
+                self.saturate, self.noise_every, self.striped,
             )
             lo, hi = split_count(
                 self.cum_start[s] + np.int64(state_gcount)

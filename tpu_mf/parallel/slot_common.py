@@ -25,7 +25,9 @@ from tpu_mf.ops.pallas_sgd_slot import (
     SlotPlan,
     _slot_bucket_counts,
     pick_sub,
+    pick_sub_stripe,
     prepare_cells_slot,
+    prepare_cells_stripe,
 )
 
 
@@ -55,12 +57,18 @@ def partition_slot_diagonal(
     sub: int | None,
     seed: int,
     sub_scale: float = 1.0,
+    striped: bool = False,
 ) -> SlotDiagonal:
     """Diagonal-block slot plans for an ``n_dev`` mesh (see module doc).
 
     ``sub_scale`` scales the auto-picked column height (SGLD's heavier
     per-tile apply amortizes better with taller columns — the measured
-    1.25x rule from ops/pallas_sgld_slot.SlotSgldRunner)."""
+    1.25x rule from ops/pallas_sgld_slot.SlotSgldRunner).
+
+    ``striped`` builds delta-striped plans per block
+    (pallas_sgd_slot.prepare_cells_stripe): striping only reorganizes
+    columns WITHIN a (user-tile, item-tile) pair, so diagonal-block
+    disjointness (chunk membership) is untouched."""
     P = n_dev
     chunk_u = cdiv(cdiv(ds.nu, P), tile) * tile
     chunk_v = cdiv(cdiv(ds.nv, P), tile) * tile
@@ -82,11 +90,17 @@ def partition_slot_diagonal(
             c = _slot_bucket_counts(local, tile, tile, pack)
             counts = c if counts is None else counts + c
     if sub is None:
-        base = pick_sub(counts, pack)
-        sub = max(8, int(base * sub_scale) // 8 * 8)
+        if striped:
+            # counts are summed over blocks with identical (tile, pack)
+            # geometry; each block has n_gv = chunk_v // tile item tiles.
+            sub = pick_sub_stripe(counts, pack, chunk_v // tile)
+        else:
+            base = pick_sub(counts, pack)
+            sub = max(8, int(base * sub_scale) // 8 * 8)
+    builder = prepare_cells_stripe if striped else prepare_cells_slot
 
     plans = {
-        k: prepare_cells_slot(
+        k: builder(
             v, tile, tile, sub, seed * 7919 + k[0] * P + k[1], pack
         )
         for k, v in locals_.items()

@@ -395,47 +395,62 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log, obs=None, start=0) ->
             sharded_slot_eligible,
         )
 
-        runner = None
-        slot_runner = None
-        switch_it = None
+        # Mirror the single-chip schedule (_mf_runner_schedule) AND its
+        # mid-run handovers (round-3 VERDICT weak #5: the mesh check was
+        # eta0-only): gen-1 until eta decays into the slot envelope, plain
+        # slot for the middle epochs, delta-striped slot columns once THEIR
+        # taller window clears. Tables ride the same ring across handovers.
+        sched = []
         if sharded_slot_eligible(params, cfg.mesh):
-            # Mirror the single-chip selection AND its mid-run handover
-            # (round-3 VERDICT weak #5: the mesh check was eta0-only): run
-            # gen-1 until eta decays into the slot kernel's staleness
-            # envelope, then hand the tables over on the ring.
-            slot_runner = ShardedSlotRunner(
+            def first_env(r):
+                for it in range(start + 1, cfg.iters + 1):
+                    if r.envelope_ok(cfg.eta_at(it)):
+                        return it
+                return None
+
+            striped_r = ShardedSlotRunner(
                 train_ds, mesh, dim=cfg.dim, seed=cfg.seed, balance=True,
+                striped=True,
             )
-            for it in range(start + 1, cfg.iters + 1):
-                if slot_runner.envelope_ok(cfg.eta_at(it)):
-                    switch_it = it
-                    break
-            if switch_it is None:
+            s2 = first_env(striped_r)
+            plain_r = s1 = None
+            if s2 is None or s2 > start + 1:
+                plain_r = ShardedSlotRunner(
+                    train_ds, mesh, dim=cfg.dim, seed=cfg.seed, balance=True,
+                )
+                s1 = first_env(plain_r)
+                if s1 is None or (s2 is not None and s1 >= s2):
+                    plain_r = s1 = None
+            if plain_r is not None:
+                sched.append((s1, plain_r))
+            if s2 is not None:
+                sched.append((s2, striped_r))
+            if not sched:
                 log("# sharded slot kernel envelope exceeded at every "
                     "epoch's eta; using the gen-1 blocked kernel on the mesh")
-                slot_runner = None
-            elif switch_it > start + 1:
+            elif sched[0][0] > start + 1:
                 log(f"# sharded slot kernel envelope clears at epoch "
-                    f"{switch_it} (eta {cfg.eta_at(switch_it):g}); gen-1 "
-                    "blocked kernel until then")
-            else:
-                runner = slot_runner
-        if runner is None:
+                    f"{sched[0][0]} (eta {cfg.eta_at(sched[0][0]):g}); "
+                    "gen-1 blocked kernel until then")
+        if not sched or sched[0][0] > start + 1:
             # Same tile rule as the single-chip gen-1 pick: MXU-pred moves
             # the mid/large-rank sweet spot to 256 (sweep_mxupred2.py).
             tile = 256 if cfg.dim >= 63 else 512
-            runner = ShardedPallasRunner(
+            sched.insert(0, (start + 1, ShardedPallasRunner(
                 train_ds, mesh, tile_u=tile, tile_v=tile,
                 batch=max(1024, cfg.batch_size), seed=cfg.seed,
-            )
+            )))
+        runner = sched[0][1]
+        upcoming = list(sched[1:])
         tables = runner.pad(params)
         for it in range(start + 1, cfg.iters + 1):
-            if (slot_runner is not None and it >= switch_it
-                    and runner is not slot_runner):
-                log(f"# eta in sharded slot-kernel envelope from epoch "
-                    f"{it}; switching")
-                tables = slot_runner.pad(runner.trim(tables))
-                runner = slot_runner
+            while upcoming and it >= upcoming[0][0]:
+                nxt = upcoming.pop(0)[1]
+                log(f"# epoch {it}: switching mesh kernel to "
+                    f"{type(nxt).__name__}"
+                    f"{' (striped)' if getattr(nxt, 'striped', False) else ''}")
+                tables = nxt.pad(runner.trim(tables))
+                runner = nxt
             tables = runner.epoch(tables, cfg.eta_at(it), cfg.lam)
             jax.block_until_ready(tables[0])
             elapsed = time.perf_counter() - t0
