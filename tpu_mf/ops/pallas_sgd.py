@@ -354,6 +354,56 @@ def stream_planes(uv, r):
     )
 
 
+def decode_planes(pb, tile_u: int, tile_v: int, mxu_dtype):
+    """In-kernel inverse of stream_planes for ONE batch's plane block.
+
+    pb is the (56, B/8) bf16 plane block; returns the (B/8, 8) id/rating
+    views the mid-chain wants (u3, v3, r3, w3) plus the (8, B/8)
+    transposed ids (ut3, vt3) the pre-transposed scatter one-hots build
+    from. See stream_planes for the exactness argument."""
+    sub = pb.shape[-1]
+    uvt3 = (
+        pb[0:8].astype(jnp.float32)
+        + pb[8:16].astype(jnp.float32) * 256.0
+        + pb[16:24].astype(jnp.float32) * 65536.0
+    ).astype(jnp.int32)  # (8, B/8) transposed packed ids
+    pi = jax.lax.broadcasted_iota(jnp.int32, (56, 24), 0)
+    pj = jax.lax.broadcasted_iota(jnp.int32, (56, 24), 1)
+    ppl, prow = pi // 8, pi % 8
+    # cols 0-7: uv = plane0 + 256*plane1 + 65536*plane2
+    # cols 8-15: r lo16 = plane3 + 256*plane4
+    # cols 16-23: r hi16 = plane5 + 256*plane6
+    w_uv = ((pj < 8) & (prow == pj) & (ppl <= 2)).astype(jnp.float32) * (
+        (1 << (8 * jnp.minimum(ppl, 2))).astype(jnp.float32)
+    )
+    w_lo = (((pj >= 8) & (pj < 16)) & (prow == pj - 8)
+            & ((ppl == 3) | (ppl == 4))).astype(jnp.float32) * (
+        (1 << (8 * jnp.clip(ppl - 3, 0, 1))).astype(jnp.float32)
+    )
+    w_hi = ((pj >= 16) & (prow == pj - 16)
+            & ((ppl == 5) | (ppl == 6))).astype(jnp.float32) * (
+        (1 << (8 * jnp.clip(ppl - 5, 0, 1))).astype(jnp.float32)
+    )
+    W = (w_uv + w_lo + w_hi).astype(mxu_dtype)
+    dec = jax.lax.dot_general(
+        pb.astype(mxu_dtype), W, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (B/8, 24): [uv | r_lo16 | r_hi16]
+    del sub
+    uv3 = dec[:, 0:8].astype(jnp.int32)
+    r3 = pltpu.bitcast(
+        dec[:, 8:16].astype(jnp.int32)
+        | (dec[:, 16:24].astype(jnp.int32) << 16),
+        jnp.float32,
+    )
+    u3 = uv3 >> UV_SHIFT
+    v3 = uv3 & (UV_BASE - 1)
+    ut3 = uvt3 >> UV_SHIFT
+    vt3 = uvt3 & (UV_BASE - 1)
+    w3 = (uv3 != tile_u * UV_BASE + tile_v).astype(jnp.float32)
+    return u3, v3, ut3, vt3, r3, w3
+
+
 def _epoch_kernel(
     # scalar prefetch
     gu_ref, gv_ref, ap_ref, hyper_ref,
@@ -404,44 +454,7 @@ def _epoch_kernel(
     # exact in f32 regardless of MXU accumulation order (unlike a plain f32
     # transpose matmul, which is bf16x3-decomposed and corrupted the ids).
     pb = pb_ref[0]     # (56, B/8) bf16: planes 0-2 uv bytes, 3-6 r bits
-    uvt3 = (
-        pb[0:8].astype(jnp.float32)
-        + pb[8:16].astype(jnp.float32) * 256.0
-        + pb[16:24].astype(jnp.float32) * 65536.0
-    ).astype(jnp.int32)  # (8, B/8) transposed packed ids
-    pi = jax.lax.broadcasted_iota(jnp.int32, (56, 24), 0)
-    pj = jax.lax.broadcasted_iota(jnp.int32, (56, 24), 1)
-    ppl, prow = pi // 8, pi % 8
-    # cols 0-7: uv = plane0 + 256*plane1 + 65536*plane2
-    # cols 8-15: r lo16 = plane3 + 256*plane4
-    # cols 16-23: r hi16 = plane5 + 256*plane6
-    w_uv = ((pj < 8) & (prow == pj) & (ppl <= 2)).astype(jnp.float32) * (
-        (1 << (8 * jnp.minimum(ppl, 2))).astype(jnp.float32)
-    )
-    w_lo = (((pj >= 8) & (pj < 16)) & (prow == pj - 8)
-            & ((ppl == 3) | (ppl == 4))).astype(jnp.float32) * (
-        (1 << (8 * jnp.clip(ppl - 3, 0, 1))).astype(jnp.float32)
-    )
-    w_hi = ((pj >= 16) & (prow == pj - 16)
-            & ((ppl == 5) | (ppl == 6))).astype(jnp.float32) * (
-        (1 << (8 * jnp.clip(ppl - 5, 0, 1))).astype(jnp.float32)
-    )
-    W = (w_uv + w_lo + w_hi).astype(mxu_dtype)
-    dec = jax.lax.dot_general(
-        pb.astype(mxu_dtype), W, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (B/8, 24): [uv | r_lo16 | r_hi16]
-    uv3 = dec[:, 0:8].astype(jnp.int32)
-    r3 = pltpu.bitcast(
-        dec[:, 8:16].astype(jnp.int32)
-        | (dec[:, 16:24].astype(jnp.int32) << 16),
-        jnp.float32,
-    )
-    u3 = uv3 >> UV_SHIFT
-    v3 = uv3 & (UV_BASE - 1)
-    ut3 = uvt3 >> UV_SHIFT
-    vt3 = uvt3 & (UV_BASE - 1)
-    w3 = (uv3 != tile_u * UV_BASE + tile_v).astype(jnp.float32)
+    u3, v3, ut3, vt3, r3, w3 = decode_planes(pb, tile_u, tile_v, mxu_dtype)
 
     theta = theta_out[:]                   # (TILE_U, lanes) fp32 state
 
@@ -461,8 +474,18 @@ def _epoch_kernel(
     iota_vt = jax.lax.broadcasted_iota(jnp.int32, (tile_v, sub), 0)
     lameta = 1.0 - eta * lam
     ln_lameta = jnp.log(lameta)  # lameta > 0 for any sane config
-    lnv_u = ln_lameta * m_keep_u  # per-lane: one/cnt lanes don't decay
-    lnv_v = ln_lameta * m_keep_v
+
+    def decay_mul(cur, k, m_keep):
+        """cur * exp(k * ln_lameta * m_keep) with the transcendental on the
+        (tile, 1) count column only: lanes with zero decay exponent
+        (one/cnt) multiply by exactly exp(0) = 1, so the full-width factor
+        is 1 + m_keep*(dec-1) — algebraically identical at 1/lanes the
+        exp work (the apply is the per-column serial-chain fixed cost the
+        small-tile geometries are bound by)."""
+        if k.shape[-1] != 1:  # mxu_apply pre-broadcast counts
+            return cur * jnp.exp(k * (ln_lameta * m_keep))
+        dec = jnp.exp(k * ln_lameta)                     # (tile, 1)
+        return cur * (1.0 + m_keep * (dec - 1.0))
     if mxu_pred:
         # pred on the MXU: rowsum(t*p) as (t*p) @ ones — the result arrives
         # PRE-BROADCAST across all lanes, killing both the VPU log-reduction
@@ -603,7 +626,7 @@ def _epoch_kernel(
             if saturate:
                 d_phi = d_phi * sat_scale(k_v)
             phi_out[pl.ds(off, tile_v), :] = (
-                phi * jnp.exp(k_v * lnv_v) + d_phi * m_keep_v
+                decay_mul(phi, k_v, m_keep_v) + d_phi * m_keep_v
             )
         else:
             pending.append((k, off, phi, d_phi))
@@ -618,7 +641,7 @@ def _epoch_kernel(
                         if saturate:
                             a = a * sat_scale(k_v)
                         phi_out[pl.ds(off_, tile_v), :] = (
-                            phi_ * jnp.exp(k_v * lnv_v) + a * m_keep_v
+                            decay_mul(phi_, k_v, m_keep_v) + a * m_keep_v
                         )
                         acc[pl.ds(off_, tile_v), :] = jnp.zeros_like(a)
 
@@ -629,7 +652,7 @@ def _epoch_kernel(
             k_u = cnt_bcast(d_theta_g)
             if saturate:
                 d_theta_g = d_theta_g * sat_scale(k_u)
-            theta = theta * jnp.exp(k_u * lnv_u) + d_theta_g * m_keep_u
+            theta = decay_mul(theta, k_u, m_keep_u) + d_theta_g * m_keep_u
 
     if batch_theta:
         # One batched scatter for the whole batch's user-side deltas.
@@ -641,7 +664,7 @@ def _epoch_kernel(
         k_u = cnt_bcast(d_theta_g)
         if saturate:
             d_theta_g = d_theta_g * sat_scale(k_u)
-        theta = theta * jnp.exp(k_u * lnv_u) + d_theta_g * m_keep_u
+        theta = decay_mul(theta, k_u, m_keep_u) + d_theta_g * m_keep_u
 
     theta_out[:] = theta
 
