@@ -289,6 +289,42 @@ def _mf_runner_schedule(cfg, train_ds, params, log, start=0):
                 if phases[0][0] > start + 1 or len(phases) > 1:
                     log(f"# delta-striped slot columns engage at epoch {s2} "
                         f"(eta {cfg.eta_at(s2):g})")
+        if phases and phases[0][0] > start + 2:
+            # Early engagement via window shrink (round-3 VERDICT weak #2):
+            # the envelope binds on eta * max duplicates inside one sub*P
+            # column window, so a SMALLER sub clears it at a warmer eta —
+            # at a per-slot cost 1 + 94/sub that smaller subs mostly buy
+            # back in fill on zipfy marginals (pick_sub's measured model).
+            # Probe the on-grid heights below the auto pick, largest
+            # first, and keep the largest sub achieving the earliest
+            # engage epoch (plan builds disk-cache: ops/plan_cache.py).
+            # Floor 128: measured at calibrated ML-10M rank 8 AT the
+            # engagement etas (benchmarks/sweep_smallwin.py), sub 128 =
+            # 279M/s > packed 214M/s but sub 64 = 178M/s < packed — a
+            # shorter window than 128 costs more than it engages.
+            from tpu_mf.ops.pallas_sgd_slot import _SUB_CANDIDATES
+
+            auto_sub = phases[0][1].sub
+            best = None
+            for sub in sorted(
+                (s for s in _SUB_CANDIDATES if 128 <= s < auto_sub),
+                reverse=True,
+            ):
+                r = SlotEpochRunner(
+                    train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
+                    balance=True, saturate=True, sub=sub,
+                )
+                e = first_env_epoch(r)
+                if (e is not None and e < phases[0][0]
+                        and (best is None or e < best[0])):
+                    best = (e, r)
+                    if e <= start + 1:
+                        break
+            if best is not None:
+                log(f"# small-window slot kernel (sub {best[1].sub}) "
+                    f"engages at epoch {best[0]} "
+                    f"(eta {cfg.eta_at(best[0]):g})")
+                phases.insert(0, best)
         if not phases:
             log("# slot kernel staleness envelope exceeded at every epoch's "
                 "eta; using the lane-packed kernel")
@@ -425,6 +461,33 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log, obs=None, start=0) ->
                 sched.append((s1, plain_r))
             if s2 is not None:
                 sched.append((s2, striped_r))
+            if sched and sched[0][0] > start + 2:
+                # Early engagement via window shrink, as on a single chip
+                # (_mf_runner_schedule): probe smaller subs, keep the
+                # largest achieving the earliest engage epoch.
+                from tpu_mf.ops.pallas_sgd_slot import _SUB_CANDIDATES
+
+                auto_sub = sched[0][1].sub
+                best = None
+                for sub_c in sorted(
+                    (s for s in _SUB_CANDIDATES if 128 <= s < auto_sub),
+                    reverse=True,
+                ):
+                    r_c = ShardedSlotRunner(
+                        train_ds, mesh, dim=cfg.dim, seed=cfg.seed,
+                        balance=True, sub=sub_c,
+                    )
+                    e_c = first_env(r_c)
+                    if (e_c is not None and e_c < sched[0][0]
+                            and (best is None or e_c < best[0])):
+                        best = (e_c, r_c)
+                        if e_c <= start + 1:
+                            break
+                if best is not None:
+                    log(f"# small-window sharded slot kernel (sub "
+                        f"{best[1].sub}) engages at epoch {best[0]} "
+                        f"(eta {cfg.eta_at(best[0]):g})")
+                    sched.insert(0, best)
             if not sched:
                 log("# sharded slot kernel envelope exceeded at every "
                     "epoch's eta; using the gen-1 blocked kernel on the mesh")
