@@ -111,6 +111,24 @@ def main(argv=None) -> int:
         print("--resume requires --result (checkpoint prefix)", file=sys.stderr)
         return 1
 
+    # Multi-host: jax.distributed, gated on the standard coordinator env
+    # vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID) —
+    # a no-op single-process. Must run before any backend use.
+    from tpu_mf.parallel.multihost import init_distributed
+
+    n_proc = init_distributed()
+    primary = True
+    if n_proc > 1:
+        import jax
+
+        primary = jax.process_index() == 0
+        print(
+            f"# jax.distributed: process {jax.process_index()}/{n_proc}, "
+            f"{jax.local_device_count()} local of "
+            f"{jax.device_count()} devices",
+            file=sys.stderr,
+        )
+
     # Heavy imports deferred so --help is instant.
     import numpy as np
     from tpu_mf.data.textfmt import read_any
@@ -168,7 +186,7 @@ def main(argv=None) -> int:
         else:
             params = train_mf(cfg, train_ds, test_ds=test_ds, params=params0)
         report_ranking(params)
-        if cfg.result:
+        if cfg.result and primary:
             if cfg.result.endswith(".npz"):
                 save_npz(cfg.result, params, lam=np.float32(cfg.lam))
             else:
@@ -196,7 +214,7 @@ def main(argv=None) -> int:
             )
 
         def save_fn(state, rnd):
-            if cfg.result:
+            if cfg.result and primary:
                 save_dpmf_binary(
                     f"{cfg.result}_{rnd}",
                     state.params,
@@ -233,7 +251,7 @@ def main(argv=None) -> int:
         else:
             state = train_admf(cfg, train_ds, valid_ds, test_ds=test_ds)
         report_ranking(state.params)
-        if cfg.result:
+        if cfg.result and primary:
             save_mf_binary(f"{cfg.result}_{cfg.iters}", state.params, float(state.lam_u))
     return 0
 

@@ -143,20 +143,32 @@ def dsgd_epoch(
 
 
 def put_blocks(mesh: Mesh, blocks: DiagonalBlocks):
-    """Device-put the (P, P, nb, B) block arrays sharded over the device axis."""
+    """Device-put the (P, P, nb, B) block arrays sharded over the device axis.
+
+    Under jax.distributed each process stages ONLY the user-shard slabs its
+    local devices own (parallel/multihost.py — the leading axis IS the mesh
+    position, so slab k of the stack goes to mesh position owned[k])."""
     shard = row_sharding(mesh)
-    return tuple(
-        jax.device_put(x, shard)
-        for x in (blocks.u_local, blocks.v_local, blocks.r, blocks.w)
-    )
+    arrays = (blocks.u_local, blocks.v_local, blocks.r, blocks.w)
+    if jax.process_count() > 1:
+        from tpu_mf.parallel.multihost import local_user_shards, put_host_local
+
+        owned = local_user_shards(mesh)
+        return tuple(put_host_local(mesh, x[owned], owned) for x in arrays)
+    return tuple(jax.device_put(x, shard) for x in arrays)
 
 
 def gather_params(state: ShardedMF) -> MFParams:
-    """Pull the sharded tables to host layout, trimming row padding."""
+    """Pull the sharded tables to host layout, trimming row padding.
+
+    Multi-process arrays are replicated (all-gather) before the host read —
+    a plain np.asarray would raise on non-fully-addressable arrays."""
+    from tpu_mf.parallel.multihost import host_pull
+
     return MFParams(
-        theta=jnp.asarray(np.asarray(state.theta)[: state.nu]),
-        phi=jnp.asarray(np.asarray(state.phi)[: state.nv]),
-        bu=jnp.asarray(np.asarray(state.bu)[: state.nu]),
-        bv=jnp.asarray(np.asarray(state.bv)[: state.nv]),
+        theta=jnp.asarray(host_pull(state.theta)[: state.nu]),
+        phi=jnp.asarray(host_pull(state.phi)[: state.nv]),
+        bu=jnp.asarray(host_pull(state.bu)[: state.nu]),
+        bv=jnp.asarray(host_pull(state.bv)[: state.nv]),
         gb=jnp.asarray(state.gb, jnp.float32),
     )

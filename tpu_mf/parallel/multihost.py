@@ -46,6 +46,10 @@ def init_distributed(
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
+    if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["JAX_NUM_PROCESSES"])
+    if process_id is None and "JAX_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["JAX_PROCESS_ID"])
     if coordinator_address is None and num_processes is None:
         return jax.process_count()
     try:
@@ -93,6 +97,44 @@ def put_host_local(
     return jax.make_array_from_single_device_arrays(
         (n_dev,) + slab, row_sharding(mesh), arrs
     )
+
+
+def put_row_sharded(mesh: Mesh, x: np.ndarray):
+    """Row-shard a host array over the mesh, staging only locally-owned rows.
+
+    Single-process this is a plain ``jax.device_put``; under
+    ``jax.distributed`` each process uploads ONLY the row chunks of its own
+    devices (the DCN boundary — no host materializes or transfers another
+    host's shard). Requires n_dev | x.shape[0], which every table/plan
+    padder in this repo guarantees."""
+    shard = row_sharding(mesh)
+    if jax.process_count() <= 1:
+        return jax.device_put(x, shard)
+    devices = list(mesh.devices.flat)
+    chunk, rem = divmod(x.shape[0], len(devices))
+    assert rem == 0, (x.shape, len(devices))
+    me = jax.process_index()
+    arrs = [
+        jax.device_put(x[i * chunk : (i + 1) * chunk], d)
+        for i, d in enumerate(devices)
+        if d.process_index == me
+    ]
+    return jax.make_array_from_single_device_arrays(x.shape, shard, arrs)
+
+
+def host_pull(x) -> np.ndarray:
+    """np.asarray that also works on multi-process (non-fully-addressable)
+    arrays: replicate over the array's own mesh first (one all-gather),
+    then read the local copy."""
+    if getattr(x, "is_fully_addressable", True):
+        return np.asarray(x)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    rep = jax.jit(
+        lambda a: a,
+        out_shardings=NamedSharding(x.sharding.mesh, PartitionSpec()),
+    )(x)
+    return np.asarray(rep)
 
 
 def assert_host_complete(mesh: Mesh) -> None:

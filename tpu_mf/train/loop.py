@@ -533,24 +533,27 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log, obs=None, start=0) ->
 
     from tpu_mf.data.blocker import cdiv, partition_diagonal
     from tpu_mf.parallel.dsgd import ShardedMF, dsgd_epoch, gather_params, put_blocks
-    from tpu_mf.parallel.mesh import row_sharding
 
     blocks = put_blocks(
         mesh, partition_diagonal(train_ds, cfg.mesh, cfg.batch_size, cfg.seed)
     )
-    # Shard the (already initialized / warm-started) params directly.
-    shard = row_sharding(mesh)
+    # Shard the (already initialized / warm-started) params directly. Under
+    # jax.distributed each process stages only its own devices' row chunks
+    # (put_row_sharded; params are identical across processes — same seed).
+    from tpu_mf.parallel.multihost import put_row_sharded
+
     pu = cdiv(train_ds.nu, cfg.mesh) * cfg.mesh
     pv = cdiv(train_ds.nv, cfg.mesh) * cfg.mesh
+
+    def _pad_rows(x, rows):
+        h = np.asarray(x)
+        return np.pad(h, ((0, rows - h.shape[0]),) + ((0, 0),) * (h.ndim - 1))
+
     state = ShardedMF(
-        theta=jax.device_put(
-            jnp.pad(params.theta, ((0, pu - train_ds.nu), (0, 0))), shard
-        ),
-        phi=jax.device_put(
-            jnp.pad(params.phi, ((0, pv - train_ds.nv), (0, 0))), shard
-        ),
-        bu=jax.device_put(jnp.pad(params.bu, (0, pu - train_ds.nu)), shard),
-        bv=jax.device_put(jnp.pad(params.bv, (0, pv - train_ds.nv)), shard),
+        theta=put_row_sharded(mesh, _pad_rows(params.theta, pu)),
+        phi=put_row_sharded(mesh, _pad_rows(params.phi, pv)),
+        bu=put_row_sharded(mesh, _pad_rows(params.bu, pu)),
+        bv=put_row_sharded(mesh, _pad_rows(params.bv, pv)),
         gb=jnp.asarray(cfg.gb, jnp.dtype(cfg.dtype)),
         nu=train_ds.nu,
         nv=train_ds.nv,
