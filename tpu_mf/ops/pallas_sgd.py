@@ -419,8 +419,15 @@ def _epoch_kernel(
     *, tile_u: int, tile_v: int, batch: int, dim: int, lanes: int, mxu_dtype,
     theta_groups: int = 8, phi_groups: int = 8, scatter_dg: bool = False,
     mxu_pred: bool = False, mxu_apply: bool = False, saturate: bool = False,
-    batch_theta: bool = False,
+    batch_theta: bool = False, ablate: int = 4,
 ):
+    # ablate: roofline ablation level (benchmarks/roofline64.py — VERDICT
+    # r4 #1; timing-only, never a production path). 4 = full kernel;
+    # 3 = scatter matmuls but NO table applies; 2 = decode + one-hots +
+    # gather matmuls + pred/err only; 1 = id/rating decode only; 0 = empty
+    # grid walk (block DMA + resident-table floor). Levels < 4 fold a
+    # data-dependent sink into an 8-row store so Mosaic cannot dead-code
+    # the measured stage. Level deltas attribute ns/rating per stage.
     eta = hyper_ref[0]
     lam = hyper_ref[1]
     gb = hyper_ref[2]
@@ -454,7 +461,21 @@ def _epoch_kernel(
     # exact in f32 regardless of MXU accumulation order (unlike a plain f32
     # transpose matmul, which is bf16x3-decomposed and corrupted the ids).
     pb = pb_ref[0]     # (56, B/8) bf16: planes 0-2 uv bytes, 3-6 r bits
+
+    def _sink(s):
+        # Data-dependent no-op store: keeps the ablated stage alive at
+        # negligible cost (one 8-row read-modify-write per grid step).
+        theta_out[0:8, :] = theta_out[0:8, :] + s * 1e-30
+
+    if ablate == 0:
+        _sink(jnp.sum(pb.astype(jnp.float32)))
+        return
     u3, v3, ut3, vt3, r3, w3 = decode_planes(pb, tile_u, tile_v, mxu_dtype)
+    if ablate == 1:
+        _sink(jnp.sum(r3 * w3)
+              + (jnp.sum(u3 + v3) + jnp.sum(ut3 + vt3))
+              .astype(jnp.float32))
+        return
 
     theta = theta_out[:]                   # (TILE_U, lanes) fp32 state
 
@@ -538,6 +559,7 @@ def _epoch_kernel(
     tt = None
     ohtu_list = []
     rhsu_list = []
+    sink = jnp.float32(0.0)  # ablate < 4 liveness accumulator
     if batch_theta:
         # theta_groups == 1: every column gathers from the SAME batch-start
         # snapshot and the deltas apply once at batch end, so the 8 per-
@@ -591,6 +613,10 @@ def _epoch_kernel(
             pred = jnp.sum(t * p, axis=1, keepdims=True) + gb
         err = (eta * wk) * (r3[:, k : k + 1] - pred)  # (B/8, 1 | lanes)
 
+        if ablate == 2:  # gather + pred only: no scatter, no applies
+            sink += jnp.sum(err[:, :1])
+            continue
+
         # Fused scatters: err*p delivers factor deltas AND (via phi's
         # one-lane) the bias delta; w in the count lane. The garbage this
         # writes into the opposite one-lane dies at the tile apply.
@@ -616,7 +642,9 @@ def _epoch_kernel(
             )
             d_phi = jnp.dot(oht_v, rhs_v, preferred_element_type=jnp.float32)
 
-        if phi_groups == 8:
+        if ablate == 3:  # scatter matmuls live, table applies skipped
+            sink += jnp.sum(d_phi[0:8, :])
+        elif phi_groups == 8:
             # Fully sequential item side: geometric per-occurrence decay
             # (ops/common.py semantics; counts came through the scratch
             # lane) applied NOW so the next column sees this one's updates.
@@ -648,6 +676,9 @@ def _epoch_kernel(
                 pending = []
 
         if k % tg_w == tg_w - 1 and not batch_theta:
+            if ablate == 3:
+                sink += jnp.sum(d_theta_g[0:8, :])
+                continue
             # User tile: apply the group's accumulated deltas and decay.
             k_u = cnt_bcast(d_theta_g)
             if saturate:
@@ -666,6 +697,9 @@ def _epoch_kernel(
             d_theta_g = d_theta_g * sat_scale(k_u)
         theta = decay_mul(theta, k_u, m_keep_u) + d_theta_g * m_keep_u
 
+    if ablate < 4:
+        _sink(sink)
+        return
     theta_out[:] = theta
 
 
@@ -675,7 +709,7 @@ def _epoch_kernel(
     static_argnames=(
         "tile_u", "tile_v", "batch", "dim", "n_gu", "n_gv", "mxu",
         "interpret", "theta_groups", "phi_groups", "scatter_dg",
-        "mxu_pred", "mxu_apply", "saturate", "batch_theta",
+        "mxu_pred", "mxu_apply", "saturate", "batch_theta", "ablate",
     ),
 )
 def _run_epoch(
@@ -684,7 +718,11 @@ def _run_epoch(
     *, tile_u, tile_v, batch, dim, n_gu, n_gv, mxu="bfloat16", interpret=False,
     theta_groups=8, phi_groups=8, scatter_dg=False,
     mxu_pred=False, mxu_apply=False, saturate=False, batch_theta=False,
+    ablate=4,
 ):
+    assert ablate == 4 or not (batch_theta or scatter_dg), (
+        "roofline ablation levels are defined on the standard kernel path"
+    )
     assert theta_groups in (1, 2, 4, 8), (
         f"theta_groups must divide the 8 lane columns, got {theta_groups}"
     )
@@ -713,7 +751,7 @@ def _run_epoch(
         mxu_dtype=jnp.dtype(mxu), theta_groups=theta_groups,
         phi_groups=phi_groups, scatter_dg=scatter_dg,
         mxu_pred=mxu_pred, mxu_apply=mxu_apply, saturate=saturate,
-        batch_theta=batch_theta,
+        batch_theta=batch_theta, ablate=ablate,
     )
     sub = batch // 8
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -926,9 +964,11 @@ class PallasEpochRunner:
         return 8
 
     def epoch(self, tables, eta: float, lam: float, gb: float,
-              epoch_idx: int = 0):
+              epoch_idx: int = 0, ablate: int = 4):
         """tables = (theta_ext, phi_ext) in the fused layout; epoch_idx
-        rotates between the shuffled plans when n_plans > 1."""
+        rotates between the shuffled plans when n_plans > 1. ablate < 4
+        runs a roofline ablation level (timing-only — tables are NOT
+        meaningfully updated; see _epoch_kernel)."""
         cap = max(1.0, 0.2 / max(eta, 1e-9))  # window-step cap (sat_scale)
         hyper = jnp.asarray([eta, lam, gb, cap], jnp.float32)
         plan_i = epoch_idx % len(self.plans)
@@ -944,7 +984,7 @@ class PallasEpochRunner:
             theta_groups=self.pick_theta_groups(eta),
             phi_groups=pg, scatter_dg=self.scatter_dg,
             mxu_pred=self.mxu_pred, mxu_apply=self.mxu_apply,
-            saturate=self.saturate,
+            saturate=self.saturate, ablate=ablate,
         )
 
     def pad(self, params: MFParams):
