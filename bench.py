@@ -81,6 +81,7 @@ class _Task:
         self.label, self.step, self.tables, self.n_real = (
             label, step, tables, n_real)
         self.best = float("inf")
+        self.round_times = []  # per-round avg epoch seconds (variance)
 
 
 def _run_tasks(tasks, rounds=3, reps=4):
@@ -89,7 +90,9 @@ def _run_tasks(tasks, rounds=3, reps=4):
     The tunneled chip runs ~3x slow for the first minutes of a process and
     kernel switches cost ~5-10% (CLAUDE.md): warm every task once
     (compile), then per round run 2 untimed epochs after the switch and
-    time `reps`; keep each task's best round."""
+    time `reps`; keep each task's best round. Every round's reading is
+    kept on the task (round_times) so callers can report spread — the
+    round-4 headline drop was undecidable without it (VERDICT r4 #4)."""
     import jax.numpy as jnp
 
     for t in tasks:
@@ -105,9 +108,24 @@ def _run_tasks(tasks, rounds=3, reps=4):
             for i in range(reps):
                 tables = t.step(tables, i)
             _ = float(jnp.sum(tables[0]))
-            t.best = min(t.best, (time.perf_counter() - t0) / reps)
+            t.round_times.append((time.perf_counter() - t0) / reps)
+            t.best = min(t.best, t.round_times[-1])
             t.tables = tables
     return {t.label: t.n_real / t.best for t in tasks}
+
+
+def _spread(tasks):
+    """Per-task timing spread across rounds: (max-min)/min in percent."""
+    out = {}
+    for t in tasks:
+        rt = sorted(t.round_times)
+        if rt:
+            out[t.label] = {
+                "best_s": round(rt[0], 4),
+                "median_s": round(rt[len(rt) // 2], 4),
+                "spread_pct": round((rt[-1] - rt[0]) / rt[0] * 100, 1),
+            }
+    return out
 
 
 def main() -> None:
@@ -189,6 +207,58 @@ def main() -> None:
             adreg_r.pad(astate), adreg_r.plan.n_real,
         ))
 
+        # Reference-default-shape dpmf/admf (round-4 VERDICT #7:
+        # BASELINE.json configs[2] is a rank-64 SGLD config; only rank-8
+        # slot paths were tracked): the gen-1 kernels the production
+        # loops select at dim 64 (loop.py fallbacks, tile 512).
+        from tpu_mf.ops.pallas_adreg import PallasAdRegRunner
+        from tpu_mf.ops.pallas_sgld import PallasSgldRunner
+
+        dstate64 = init_dpmf(jax.random.PRNGKey(0), ds, 64, gb=gb)
+        scal64 = sgld_eta * n * 1.0 * float(dstate64.lambda_r)
+        hyper64 = (sgld_eta, 1e-11, 1.0, scal64, gb)
+        sgld64_r = PallasSgldRunner(ds, tile_u=512, tile_v=512,
+                                    batch=8192, seed=0, n_plans=1)
+        sgld64_r.set_lambdas(dstate64)
+        tasks.append(_Task(
+            "sgld64",
+            lambda tables, i: sgld64_r.epoch(
+                tables, 0, hyper64,
+                noise_seed=1 + i * sgld64_r.seed_stride),
+            sgld64_r.pad(dstate64), sgld64_r.plan.n_real,
+        ))
+
+        astate64 = init_admf(jax.random.PRNGKey(0), atrain.nu, atrain.nv,
+                             64, lam=0.05, gb=gb)
+        adreg64_r = PallasAdRegRunner(atrain, avalid, tile_u=512,
+                                      tile_v=512, batch=4096, seed=0,
+                                      n_plans=1)
+        tasks.append(_Task(
+            "adreg64",
+            lambda tables, i: adreg64_r.epoch(
+                tables, 0.002, 0.01, akey, epoch_idx=i),
+            adreg64_r.pad(astate64), adreg64_r.plan.n_real,
+        ))
+
+        # Yahoo-shape catalog (round-4 VERDICT #3: the item-sharded fused
+        # path had never been TPU-timed): nu/nv from the reference's own
+        # Yahoo config (src/run.py:6-9) at a 20M-rating cached stand-in —
+        # density is ~12x below the real 250M-rating Yahoo, so this EXTRA
+        # tracks the phi-sharded kernel's regression, not the headline
+        # (benchmarks/bench_yahoo.py measures at 100M).
+        from tpu_mf.ops.phi_shard import PhiShardedRunner
+
+        yds = calibrated_ds(1_000_990, 624_961, 20_000_000, seed=11)
+        y_r = PhiShardedRunner(yds, dim=8, seed=3, n_plans=1, saturate=True)
+        yp = init_mf(jax.random.PRNGKey(0), yds.nu, yds.nv, 8,
+                     gb=yds.mean_rating())
+        tasks.append(_Task(
+            "yahoo",
+            lambda tables, i: y_r.epoch(
+                tables, eta, lam, float(yp.gb), epoch_idx=i),
+            y_r.pad(yp), len(yds),
+        ))
+
         rates = _run_tasks(tasks)
         ups = rates[f"rank64@{scheds['rank64'][1][-1][0]}"]
         name = extra["rank64_kernel"]
@@ -215,6 +285,10 @@ def main() -> None:
         )
         extra["sgld_updates_per_s"] = round(rates["sgld"])
         extra["adreg_updates_per_s"] = round(rates["adreg"])
+        extra["sgld_rank64_updates_per_s"] = round(rates["sgld64"])
+        extra["adreg_rank64_updates_per_s"] = round(rates["adreg64"])
+        extra["yahoo_updates_per_s"] = round(rates["yahoo"])
+        extra["timing"] = _spread(tasks)
     else:
         from tpu_mf.models.mf import init_mf as _init
         from tpu_mf.ops.sgd import sgd_epoch

@@ -34,16 +34,20 @@ def main():
     ap.add_argument("--budget_mb", type=int, default=None)
     args = ap.parse_args()
 
-    from tpu_mf.data.coo import synthetic_ratings
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from bench import calibrated_ds
+
     from tpu_mf.models.mf import init_mf, calc_mse
     from tpu_mf.ops.phi_shard import PHI_SHARD_BUDGET, PhiShardedRunner
 
     t0 = time.perf_counter()
-    ds = synthetic_ratings(
-        1000990, 624961, args.n, rank=8, noise=0.76, signal=1.25,
-        bias_std=0.38, seed=11, zipf=1.0, zipf_q=50.0, zipf_u=1.0,
-        zipf_uq=250.0,
-    )
+    # Disk-cached calibrated Zipf-Mandelbrot marginals (bench.calibrated_ds,
+    # the gate-matched ML-10M calibration) at the reference's Yahoo table
+    # shape (src/run.py:6-9).
+    ds = calibrated_ds(1000990, 624961, args.n, seed=11)
     print(f"synth: {time.perf_counter()-t0:.1f}s", flush=True)
 
     t0 = time.perf_counter()

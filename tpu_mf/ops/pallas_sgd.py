@@ -47,14 +47,19 @@ from jax.experimental.pallas import tpu as pltpu
 from tpu_mf.data.coo import RatingsCOO
 from tpu_mf.models.mf import MFParams
 
-LANES = 128           # base lane width; rows use 1-2 lane groups
-MAX_DIM = 2 * LANES - 3  # row = [dim factors | bias | one | count] <=256 lanes
+LANES = 128           # base lane width; rows use ceil((dim+3)/128) groups
+# The reference's parameter sweep runs to dim=2048 (src/run.py:13); rows
+# are [dim factors | bias | one | count] in however many 128-lane groups
+# that takes (17 at dim 2048). Above ~2 groups the MXU-pred rowsum's
+# lanes^2 cost dominates, so the runner auto-disables mxu_pred there.
+MAX_DIM = 2048
 
 
 def row_lanes(dim: int) -> int:
-    """Lane width of a fused table row: 128 for dim <= 125, else 256."""
+    """Lane width of a fused table row: ceil((dim+3)/128) 128-lane groups
+    (128 for dim <= 125, 256 for <= 253, ... 2176 at the dim-2048 cap)."""
     assert dim <= MAX_DIM, f"fused kernels support dim <= {MAX_DIM}, got {dim}"
-    return LANES if dim <= LANES - 3 else 2 * LANES
+    return ((dim + 3 + LANES - 1) // LANES) * LANES
 
 
 def cdiv(a: int, b: int) -> int:
@@ -866,6 +871,9 @@ class PallasEpochRunner:
         # MXU-side pred rowsum+broadcast: measured -21%/step at rank 64
         # (ablate_wide64.py widemxu); exact in interpret/f32 mode, one extra
         # bf16 rounding of t*p otherwise (tables are already bf16 on MXU).
+        # Above 2 lane groups (dim > 253) the ones_mx matmul costs
+        # lanes^2/slot and dominates: auto-disable there (resolved at
+        # pad(), when dim is known).
         self.mxu_pred = mxu_pred
         self.mxu_apply = mxu_apply
         batch = cdiv(batch, 8) * 8
@@ -989,6 +997,8 @@ class PallasEpochRunner:
 
     def pad(self, params: MFParams):
         self.dim = params.theta.shape[1]
+        if row_lanes(self.dim) > 2 * LANES and self.mxu_pred:
+            self.mxu_pred = False  # lanes^2 pred dominates past 2 groups
         self.gb = float(params.gb)
         return pad_params(params, self.plan, self._map_u, self._map_v)
 

@@ -1073,21 +1073,45 @@ class SlotEpochRunner:
                 for p in self.plans
             ]
             self._vdup_max = {g: max(s[g] for s in stats) for g in (1, 2, 4, 8)}
-        self.devs = []
-        self.flags = []
+        # Device staging is LAZY (materialize/devs): the train-loop
+        # schedule probes many candidate runners for their envelope stats
+        # alone, and losing candidates must not pay plan uploads to the
+        # (tunneled) TPU or transiently raise peak HBM (round-4 ADVICE #1).
+        self._devs = None
+        self._flags = None
+
+    def materialize(self):
+        """Upload plan streams to the device (idempotent). Called lazily
+        by pad(); envelope probing never triggers it."""
+        if self._devs is not None:
+            return self
+        devs, flags = [], []
         for plan in self.plans:
             uv = plan.u * UV_BASE + plan.v
-            self.devs.append((
+            devs.append((
                 jnp.asarray(plan.gu),
                 jnp.asarray(plan.gv),
                 jnp.asarray(uv),
                 jnp.asarray(np.swapaxes(uv, 1, 2).copy()),
                 jnp.asarray(plan.r),
             ))
-            self.flags.append({
+            flags.append({
                 g: jnp.asarray(_apply_flags(plan.gv, g)) for g in (1, 2, 4)
             } | {8: jnp.ones_like(jnp.asarray(plan.gv))})
-        self.dev = self.devs[0]
+        self._devs, self._flags = devs, flags
+        return self
+
+    @property
+    def devs(self):
+        return self.materialize()._devs
+
+    @property
+    def flags(self):
+        return self.materialize()._flags
+
+    @property
+    def dev(self):
+        return self.devs[0]
 
     def _col_ids(self, ids: np.ndarray, sentinel: int) -> np.ndarray:
         return slot_col_ids(ids, self.pack)
@@ -1164,6 +1188,7 @@ class SlotEpochRunner:
         )
 
     def pad(self, params: MFParams):
+        self.materialize()
         self.dim = params.theta.shape[1]
         self.gb = float(params.gb)
         return pack_params_slot(params, self.plan, self._map_u, self._map_v)

@@ -184,9 +184,7 @@ class ShardedSlotRunner:
         self.nb = [
             max(plans[(p, s)].u.shape[0] for p in range(P)) for s in range(P)
         ]
-        self.dev = []
-        self.flags = []
-        shard = row_sharding(mesh)
+        self._host = []  # per-substep (GU, GV, uv, uvt, R) host arrays
         du, dv = {g: 0 for g in (1, 2, 4, 8)}, {g: 0 for g in (1, 2, 4, 8)}
         for s in range(P):
             nb = self.nb[s]
@@ -216,24 +214,50 @@ class ShardedSlotRunner:
                     du[g] = max(du[g], su[g])
                     dv[g] = max(dv[g], sv[g])
             uv = U * UV_BASE + V
-            self.dev.append(tuple(
-                jax.device_put(jnp.asarray(x), shard)
-                for x in (GU, GV, uv, np.swapaxes(uv, 2, 3).copy(), R)
-            ))
-            self.flags.append({
+            self._host.append(
+                (GU, GV, uv, np.swapaxes(uv, 2, 3).copy(), R)
+            )
+        self._dup_max, self._vdup_max = du, dv
+        self.n_real = len(ds)
+        # Device staging is LAZY (round-4 ADVICE #1): the mesh schedule
+        # probes candidate runners for envelope stats only — P^2 padded
+        # plan arrays are device_put only for the winner (via pad()).
+        self._dev = None
+        self._flags = None
+
+    def materialize(self):
+        """device_put the per-substep plan stacks (idempotent)."""
+        if self._dev is not None:
+            return self
+        shard = row_sharding(self.mesh)
+        self._dev = [
+            tuple(jax.device_put(jnp.asarray(x), shard) for x in host)
+            for host in self._host
+        ]
+        self._flags = [
+            {
                 g: jax.device_put(
                     jnp.asarray(
                         np.stack([
                             _apply_flags(np.asarray(GV[p]), g)
-                            for p in range(P)
+                            for p in range(self.n_dev)
                         ])
                     ),
                     shard,
                 )
                 for g in (1, 2, 4)
-            } | {8: jax.device_put(jnp.ones_like(jnp.asarray(GV)), shard)})
-        self._dup_max, self._vdup_max = du, dv
-        self.n_real = len(ds)
+            } | {8: jax.device_put(jnp.ones_like(jnp.asarray(GV)), shard)}
+            for (_, GV, *_rest) in self._host
+        ]
+        return self
+
+    @property
+    def dev(self):
+        return self.materialize()._dev
+
+    @property
+    def flags(self):
+        return self.materialize()._flags
 
     def envelope_ok(self, eta: float) -> bool:
         return eta * max(self._dup_max[8], self._vdup_max[8]) <= 0.2
@@ -247,6 +271,7 @@ class ShardedSlotRunner:
         return 8
 
     def pad(self, params: MFParams):
+        self.materialize()
         self.dim = params.theta.shape[1]
         self.gb = float(params.gb)
         view = _PackView(

