@@ -1,0 +1,410 @@
+"""Dense-cell fused SGD epochs: the rating matrix as tiles, not streams.
+
+Round-5 roofline finding (PERF_NOTES, benchmarks/roofline64.py): the gen-1
+one-hot dataflow moves 2*2*(tu+tv)*lanes MXU flops per rating slot — 278k
+at the production rank-64 geometry against ~640 useful flops — and its
+analytic MXU speed-of-light (1.66 ns/rating) already sits above the 1e9
+updates/s gate. No micro-optimization of one-hot gathers can close that.
+
+This kernel replaces gathers/scatters entirely. At plan-build time every
+(user-tile x item-tile) CELL of the rating matrix is materialized densely
+as two small matrices:
+
+    S[cell][i, j] = sum of ratings of (user i, item j) inside the cell
+    W[cell][i, j] = count of those ratings (0 = no rating = mask)
+
+Then one epoch is, per cell, four plain tile matmuls (reference math:
+src/mf.h:94-109, batched over the cell window):
+
+    pred  = theta_tile @ phi_tile^T + gb      (homogeneous rows fold the
+                                               biases in: pallas_sgd layout)
+    E     = S - W * pred                       (one FMA; W doubles as mask
+                                               AND multiplicity — duplicate
+                                               (u,v) pairs sum exactly as k
+                                               sequential grads at one
+                                               stale point would)
+    d_theta, k_u = [E; W] @ phi_tile           (M-concat: counts ride the
+                                               phi one-lane, flat-in-M MXU)
+    ... and the transposed S_T/W_T pair for the phi side.
+
+MXU flops per rating: 2 * 6 * tu * tv * lanes / ratings_per_cell =
+12*lanes*(nu*nv)/n — DENSITY-driven, tile- and rank-independent below
+lanes ~ 256 (ML-10M: ~115k incl. the count concat, vs one-hot's 328k).
+Measured probe (benchmarks/probe_dense.py): 1.21 ns/rating at ML-10M
+density vs the full one-hot kernel's 3.25.
+
+Applicability gate (dense_eligible): the 4 offset-encoded matrices must
+fit HBM — bytes = 4 * padded(nu) * padded(nv) * itemsize (3.0 GB at
+ML-10M bf16; Netflix 100M would need 34 GB -> ineligible, stays on the
+one-hot kernels; Yahoo likewise).
+
+Staleness window = one cell: a user's ratings within one item tile are
+applied from one stale point, the same window one gen-1 plan column holds
+(a column IS a cell chunk), with the identical geometric per-occurrence
+decay (ops/common.py) and per-row window-step saturation. No shuffle is
+needed or used: within a cell, order cannot matter (one stale point);
+between cells the visit order is fixed, like the reference's fixed
+file-order replay (src/mf.h:37-44).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import ml_dtypes
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_mf.data.coo import RatingsCOO
+from tpu_mf.models.mf import MFParams
+from tpu_mf.ops.pallas_sgd import (
+    cdiv,
+    pad_params,
+    row_lanes,
+    split_params,
+)
+
+# HBM the 4 dense matrices may take (device_put'd once per runner).
+DENSE_BUDGET = 8 * 1024 ** 3
+
+
+class DensePlan(NamedTuple):
+    s: np.ndarray    # (n_gu, n_gvp, tile_u, tile_v) rating sums
+    w: np.ndarray    # same shape, rating counts (0 = hole)
+    st: np.ndarray   # (n_gu, n_gvp, tile_v, tile_u) transposed copies
+    wt: np.ndarray
+    tile_u: int
+    tile_v: int
+    n_gu: int
+    n_gv: int        # real item tiles (n_gvp = n_gvc * K >= n_gv)
+    k_cells: int     # cells per grid step (unroll)
+    n_real: int
+    max_ku: int      # max per-cell per-user-row count (envelope)
+    max_kv: int
+
+    @property
+    def n_gvp(self) -> int:
+        return self.s.shape[1]
+
+
+def prepare_dense(
+    ds: RatingsCOO,
+    tile_u: int = 256,
+    tile_v: int = 256,
+    k_cells: int = 8,
+    dtype=ml_dtypes.bfloat16,
+) -> DensePlan:
+    """Densify the rating matrix into per-cell sum/count tiles.
+
+    Vectorized via one flat bincount per user-tile chunk (bounds peak
+    memory to one gu row of cells at f64)."""
+    n_gu = cdiv(ds.nu, tile_u)
+    n_gv = cdiv(ds.nv, tile_v)
+    n_gvp = cdiv(n_gv, k_cells) * k_cells
+    shape = (n_gu, n_gvp, tile_u, tile_v)
+    s = np.zeros(shape, dtype)
+    w = np.zeros(shape, dtype)
+    st = np.zeros((n_gu, n_gvp, tile_v, tile_u), dtype)
+    wt = np.zeros((n_gu, n_gvp, tile_v, tile_u), dtype)
+    gu_all = ds.u // tile_u
+    max_ku = max_kv = 0
+    row_cells = n_gvp * tile_u * tile_v
+    for g in range(n_gu):
+        sel = gu_all == g
+        if not sel.any():
+            continue
+        u = (ds.u[sel] % tile_u).astype(np.int64)
+        v = ds.v[sel].astype(np.int64)
+        gv, vl = v // tile_v, v % tile_v
+        flat = (gv * tile_u + u) * tile_v + vl
+        ssum = np.bincount(flat, weights=ds.r[sel], minlength=row_cells)
+        cnt = np.bincount(flat, minlength=row_cells)
+        ssum = ssum.reshape(n_gvp, tile_u, tile_v).astype(np.float32)
+        cnt = cnt.reshape(n_gvp, tile_u, tile_v).astype(np.float32)
+        s[g] = ssum.astype(dtype)
+        w[g] = cnt.astype(dtype)
+        st[g] = np.swapaxes(ssum, 1, 2).astype(dtype)
+        wt[g] = np.swapaxes(cnt, 1, 2).astype(dtype)
+        max_ku = max(max_ku, int(cnt.sum(2).max()))
+        max_kv = max(max_kv, int(cnt.sum(1).max()))
+    return DensePlan(
+        s=s, w=w, st=st, wt=wt, tile_u=tile_u, tile_v=tile_v,
+        n_gu=n_gu, n_gv=n_gv, k_cells=k_cells, n_real=len(ds),
+        max_ku=max_ku, max_kv=max_kv,
+    )
+
+
+def _dense_kernel(
+    hyper_ref,
+    s_ref, w_ref, st_ref, wt_ref, theta_ref,
+    phi_hbm,                      # HBM-resident, aliased with phi_out
+    theta_out, phi_out,
+    sem,
+    *, tile_u: int, tile_v: int, k_cells: int, dim: int, lanes: int,
+    mxu_dtype, saturate: bool,
+):
+    eta = hyper_ref[0]
+    lam = hyper_ref[1]
+    gb = hyper_ref[2]
+    cap = hyper_ref[3]
+
+    i = pl.program_id(0)          # user tile
+    j = pl.program_id(1)          # item-tile chunk of k_cells cells
+
+    @pl.when((i == 0) & (j == 0))
+    def _():
+        cp = pltpu.make_async_copy(phi_hbm, phi_out, sem)
+        cp.start()
+        cp.wait()
+
+    # theta state lives in the out ref across the j-steps of one tile run
+    # (same persistence rule the gen-1 kernel relies on).
+    @pl.when(j == 0)
+    def _():
+        theta_out[:] = theta_ref[:]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
+    m_keep_u = (lane <= dim).astype(jnp.float32)
+    m_keep_v = ((lane < dim) | (lane == dim + 1)).astype(jnp.float32)
+    # counts ride the OTHER side's homogeneous one-lane through the
+    # M-concat matmul: phi rows are [fac | 1 | bv], theta [fac | bu | 1].
+    m_one_v = (lane == dim).astype(jnp.float32)
+    m_one_u = (lane == dim + 1).astype(jnp.float32)
+    lameta = 1.0 - eta * lam
+    ln_lameta = jnp.log(lameta)
+
+    def decay(cur, k, m_keep):
+        dec = jnp.exp(k * ln_lameta)                 # (tile, 1)
+        return cur * (1.0 + m_keep * (dec - 1.0))
+
+    def sat(k):
+        return jnp.minimum(1.0, cap / jnp.maximum(k, 1.0))
+
+    theta = theta_out[:]
+    for k in range(k_cells):
+        off = pl.multiple_of((j * k_cells + k) * tile_v, tile_v)
+        phi_t = phi_out[pl.ds(off, tile_v), :]
+        tb = theta.astype(mxu_dtype)
+        pb = phi_t.astype(mxu_dtype)
+        dn = (((1,), (1,)), ((), ()))               # contract lane axes
+
+        # user side
+        pred = jax.lax.dot_general(
+            tb, pb, dn, preferred_element_type=jnp.float32) + gb
+        sm = s_ref[0, 0, k].astype(jnp.float32)     # (tu, tv)
+        wm = w_ref[0, 0, k].astype(jnp.float32)
+        e = (sm - wm * pred).astype(mxu_dtype)
+        ew = jnp.concatenate([e, wm.astype(mxu_dtype)], axis=0)
+        g = jnp.dot(ew, pb, preferred_element_type=jnp.float32)
+        d_th = g[:tile_u, :]
+        k_u = jnp.sum(
+            g[tile_u:, :] * m_one_v, axis=1, keepdims=True)
+
+        # item side (transposed copies; old theta, like the gen-1
+        # column's rhs_v = err * t_old)
+        predt = jax.lax.dot_general(
+            pb, tb, dn, preferred_element_type=jnp.float32) + gb
+        smt = st_ref[0, 0, k].astype(jnp.float32)   # (tv, tu)
+        wmt = wt_ref[0, 0, k].astype(jnp.float32)
+        et = (smt - wmt * predt).astype(mxu_dtype)
+        ewt = jnp.concatenate([et, wmt.astype(mxu_dtype)], axis=0)
+        gt = jnp.dot(ewt, tb, preferred_element_type=jnp.float32)
+        d_ph = gt[:tile_v, :]
+        k_v = jnp.sum(
+            gt[tile_v:, :] * m_one_u, axis=1, keepdims=True)
+
+        d_th = d_th * eta
+        d_ph = d_ph * eta
+        if saturate:
+            d_th = d_th * sat(k_u)
+            d_ph = d_ph * sat(k_v)
+        theta = decay(theta, k_u, m_keep_u) + d_th * m_keep_u
+        phi_out[pl.ds(off, tile_v), :] = (
+            decay(phi_t, k_v, m_keep_v) + d_ph * m_keep_v
+        )
+    theta_out[:] = theta
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(0, 1),
+    static_argnames=(
+        "tile_u", "tile_v", "k_cells", "dim", "n_gu", "n_gvp", "mxu",
+        "interpret", "saturate",
+    ),
+)
+def _run_dense_epoch(
+    theta_ext, phi_ext, s, w, st, wt, hyper,
+    *, tile_u, tile_v, k_cells, dim, n_gu, n_gvp,
+    mxu="bfloat16", interpret=False, saturate=True,
+):
+    lanes = row_lanes(dim)
+    n_gvc = n_gvp // k_cells
+    kernel = functools.partial(
+        _dense_kernel,
+        tile_u=tile_u, tile_v=tile_v, k_cells=k_cells, dim=dim,
+        lanes=lanes, mxu_dtype=jnp.dtype(mxu), saturate=saturate,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,  # hyper
+        grid=(n_gu, n_gvc),
+        in_specs=[
+            pl.BlockSpec((1, 1, k_cells, tile_u, tile_v),
+                         lambda i, j, h: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, k_cells, tile_u, tile_v),
+                         lambda i, j, h: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, k_cells, tile_v, tile_u),
+                         lambda i, j, h: (i, j, 0, 0, 0)),
+            pl.BlockSpec((1, 1, k_cells, tile_v, tile_u),
+                         lambda i, j, h: (i, j, 0, 0, 0)),
+            pl.BlockSpec((tile_u, lanes), lambda i, j, h: (i, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),      # phi (HBM)
+        ],
+        out_specs=[
+            pl.BlockSpec((tile_u, lanes), lambda i, j, h: (i, 0)),
+            pl.BlockSpec((n_gvp * tile_v, lanes), lambda i, j, h: (0, 0)),
+        ],
+        scratch_shapes=[pltpu.SemaphoreType.DMA],
+    )
+    theta_ext, phi_ext = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((n_gu * tile_u, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_gvp * tile_v, lanes), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        # operands after the scalar-prefetch arg: s=1 w=2 st=3 wt=4
+        # theta=5 phi=6
+        input_output_aliases={5: 0, 6: 1},
+        interpret=interpret,
+    )(hyper, s, w, st, wt, theta_ext, phi_ext)
+    return theta_ext, phi_ext
+
+
+class DenseEpochRunner:
+    """Holds the dense cell matrices on device and runs fused epochs.
+
+    Drop-in counterpart of PallasEpochRunner (pad/epoch/trim, same fused
+    table layout) for datasets whose dense matrices fit HBM
+    (dense_eligible). No n_plans: the cell window makes within-cell order
+    irrelevant and the cell partition is data-determined, so there is
+    nothing a reshuffle could change."""
+
+    def __init__(
+        self,
+        ds: RatingsCOO,
+        tile_u: int = 256,
+        tile_v: int = 256,
+        k_cells: int = 8,
+        seed: int = 0,          # accepted for interface parity; unused
+        mxu: str = "bfloat16",
+        interpret: bool = False,
+        saturate: bool = True,
+        dtype=None,
+    ):
+        del seed
+        self.saturate = saturate
+        self.nu, self.nv = ds.nu, ds.nv
+        self.mxu = mxu
+        self.interpret = interpret
+        if dtype is None:
+            # parity/interpret runs keep ratings exact; production trades
+            # ~1e-2 rating quantization for half the HBM/DMA
+            dtype = np.float32 if mxu == "float32" else ml_dtypes.bfloat16
+        self.plan = prepare_dense(ds, tile_u, tile_v, k_cells, dtype)
+        self.tile_u, self.tile_v = tile_u, tile_v
+        self.k_cells = k_cells
+        self._dev = None
+        self._warned = set()
+
+    # --- envelope -------------------------------------------------------
+    def envelope_ok(self, eta: float) -> bool:
+        """Window = one cell. With saturation the per-row step is capped
+        in-kernel exactly like the slot SGLD treatment; without it the
+        plain eta * max-cell-count bound applies."""
+        if self.saturate:
+            return True
+        return eta * max(self.plan.max_ku, self.plan.max_kv) <= 0.2
+
+    @property
+    def n_slots(self) -> int:
+        return int(self.plan.n_gu * self.plan.n_gvp
+                   * self.plan.tile_u * self.plan.tile_v)
+
+    def materialize(self):
+        if self._dev is None:
+            p = self.plan
+            n_gvc = p.n_gvp // p.k_cells
+            self._dev = tuple(
+                jnp.asarray(x.reshape(
+                    p.n_gu, n_gvc, p.k_cells, x.shape[2], x.shape[3]))
+                for x in (p.s, p.w, p.st, p.wt)
+            )
+        return self
+
+    @property
+    def dev(self):
+        return self.materialize()._dev
+
+    # --- training -------------------------------------------------------
+    def epoch(self, tables, eta: float, lam: float, gb: float,
+              epoch_idx: int = 0):
+        del epoch_idx  # single static plan (see class docstring)
+        cap = max(1.0, 0.2 / max(eta, 1e-9))
+        hyper = jnp.asarray([eta, lam, gb, cap], jnp.float32)
+        s, w, st, wt = self.dev
+        return _run_dense_epoch(
+            tables[0], tables[1], s, w, st, wt, hyper,
+            tile_u=self.tile_u, tile_v=self.tile_v,
+            k_cells=self.k_cells, dim=self.dim,
+            n_gu=self.plan.n_gu, n_gvp=self.plan.n_gvp,
+            mxu=self.mxu, interpret=self.interpret,
+            saturate=self.saturate,
+        )
+
+    def pad(self, params: MFParams):
+        self.materialize()
+        self.dim = params.theta.shape[1]
+        self.gb = float(params.gb)
+        # pad_params sizes tables from a plan view: n_gu/tile_u and
+        # n_gv/tile_v attrs are all it reads.
+        view = _DensePlanView(self.plan)
+        return pad_params(params, view)
+
+    def trim(self, tables, dim: int | None = None) -> MFParams:
+        return split_params(
+            tables[0], tables[1], self.nu, self.nv, dim or self.dim,
+            self.gb,
+        )
+
+
+class _DensePlanView:
+    """Adapter: pad_params reads n_gu/tile_u/n_gv/tile_v off a CellPlan."""
+
+    def __init__(self, plan: DensePlan):
+        self.n_gu, self.tile_u = plan.n_gu, plan.tile_u
+        self.n_gv, self.tile_v = plan.n_gvp, plan.tile_v
+
+
+def dense_eligible(
+    params: MFParams, ds: RatingsCOO, budget: int = DENSE_BUDGET,
+    tile_u: int = 256, tile_v: int = 256,
+) -> bool:
+    """True when the 4 dense matrices fit the HBM budget and the fused row
+    width fits VMEM residency for phi (same check as pallas_eligible)."""
+    dim = params.theta.shape[1]
+    try:
+        lanes = row_lanes(dim)
+    except AssertionError:
+        return False
+    pu = cdiv(ds.nu, tile_u) * tile_u
+    pv = cdiv(ds.nv, tile_v) * tile_v
+    dense_bytes = 4 * pu * pv * 2  # S/W/ST/WT bf16
+    vmem_phi = pv * lanes * 4
+    return dense_bytes <= budget and vmem_phi <= 64 * 1024 * 1024
