@@ -259,3 +259,32 @@ def test_saturation_inactive_when_cap_clears_and_stabilizes_heads():
     out = s.trim(ts)
     final = float(rmse(out, zds))
     assert np.isfinite(final) and final < 2.0, final
+
+
+def test_pallas_epoch_dim300_multi_group_rows():
+    """Multi-lane-group rows (dim > 253; round-5 row_lanes extension to the
+    reference's full dim sweep, src/run.py:13): interpret-mode fused epoch
+    at dim 300 (3 lane groups, mxu_pred auto-disabled) == the pure-JAX
+    kernel over identical batches."""
+    ds = synthetic_ratings(120, 90, 1500, rank=3, seed=7)
+    params = init_mf(jax.random.PRNGKey(2), ds.nu, ds.nv, 300, gb=3.0)
+    eta, lam = 0.02, 0.01
+
+    runner = PallasEpochRunner(
+        ds, tile_u=64, tile_v=64, batch=128, seed=8,
+        mxu="float32", interpret=True,
+        theta_groups=8, phi_groups=8,
+    )
+    tables = runner.pad(params)
+    assert runner.mxu_pred is False  # lanes^2 pred auto-disabled
+    tables = runner.epoch(tables, eta, lam, float(params.gb))
+    out = runner.trim(tables)
+    ref = reference_epoch_on_plan(params, runner.plan, eta, lam)
+    np.testing.assert_allclose(
+        np.asarray(out.theta), np.asarray(ref.theta), atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(out.phi), np.asarray(ref.phi), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.bu), np.asarray(ref.bu),
+                               atol=3e-5)
+    np.testing.assert_allclose(np.asarray(out.bv), np.asarray(ref.bv),
+                               atol=3e-5)
