@@ -111,17 +111,20 @@ def prepare_dense(
     st = np.zeros((n_gu, n_gvp, tile_v, tile_u), dtype)
     wt = np.zeros((n_gu, n_gvp, tile_v, tile_u), dtype)
     gu_all = ds.u // tile_u
+    order = np.argsort(gu_all, kind="stable")
+    u_s, v_s, r_s = ds.u[order], ds.v[order], ds.r[order]
+    starts = np.searchsorted(gu_all[order], np.arange(n_gu + 1))
     max_ku = max_kv = 0
     row_cells = n_gvp * tile_u * tile_v
     for g in range(n_gu):
-        sel = gu_all == g
-        if not sel.any():
+        lo, hi = starts[g], starts[g + 1]
+        if lo == hi:
             continue
-        u = (ds.u[sel] % tile_u).astype(np.int64)
-        v = ds.v[sel].astype(np.int64)
+        u = (u_s[lo:hi] % tile_u).astype(np.int64)
+        v = v_s[lo:hi].astype(np.int64)
         gv, vl = v // tile_v, v % tile_v
         flat = (gv * tile_u + u) * tile_v + vl
-        ssum = np.bincount(flat, weights=ds.r[sel], minlength=row_cells)
+        ssum = np.bincount(flat, weights=r_s[lo:hi], minlength=row_cells)
         cnt = np.bincount(flat, minlength=row_cells)
         ssum = ssum.reshape(n_gvp, tile_u, tile_v).astype(np.float32)
         cnt = cnt.reshape(n_gvp, tile_u, tile_v).astype(np.float32)
