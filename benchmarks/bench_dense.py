@@ -1,13 +1,14 @@
 """Dense-cell kernel timing at the production ML-10M shape.
 
-One plan upload serves every task: the S/W cell matrices are
-dim-independent (tables carry the rank) and the k_cells unroll variants
-are contiguous leading-axis reshapes of the same device arrays.
+One on-device densify serves every task: the S/W cell matrices are
+dim-independent (tables carry the rank) and k_cells is a pure BlockSpec
+unroll knob over the same 4D device arrays (no per-k copies — reshape
+variants OOMed the 16GB chip when they were real buffers).
 
-Tasks: dims {8, 64, 128} x k_cells {42, 21, 14} (n_gv = 42 at tv=256),
+Tasks: dims {8, 64, 128} x k_cells {42, 21, 14, 7} (n_gvp = 42 at tv=256),
 timed with the interleaved-rewarm protocol (bench._run_tasks).
 
-Usage: python benchmarks/bench_dense.py [--dims 8,64,128] [--ks 42,21,14]
+Usage: python benchmarks/bench_dense.py [--dims 8,64,128] [--ks 42,21,14,7]
 """
 
 import argparse
@@ -18,13 +19,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _Task, _run_tasks, calibrated_ml10m  # noqa: E402
+from bench import _Task, _run_tasks, _spread, calibrated_ml10m  # noqa: E402
 
 
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--dims", default="8,64,128")
-    ap.add_argument("--ks", default="42,21,14")
+    ap.add_argument("--ks", default="42,21,14,7")
     ap.add_argument("--tile", type=int, default=256)
     args = ap.parse_args()
 
@@ -32,62 +33,39 @@ def main() -> int:
     import jax.numpy as jnp
 
     from tpu_mf.models.mf import init_mf, rmse
-    from tpu_mf.ops.pallas_sgd_dense import (
-        DenseEpochRunner,
-        _run_dense_epoch,
-        prepare_dense,
-    )
+    from tpu_mf.ops.pallas_sgd_dense import DenseEpochRunner, _run_dense_epoch
 
     ds = calibrated_ml10m()
     gb = float(ds.mean_rating())
     eta, lam = 2e-2, 5e-3
-    t0 = time.perf_counter()
     ks = [int(x) for x in args.ks.split(",")]
-    kmax = max(ks)
-    plan = prepare_dense(ds, args.tile, args.tile, kmax)
+
+    t0 = time.perf_counter()
+    runner = DenseEpochRunner(ds, args.tile, args.tile, k_cells=ks[0])
+    plan = runner.plan
     print(json.dumps({
         "plan_s": round(time.perf_counter() - t0, 1),
         "n_gu": plan.n_gu, "n_gvp": plan.n_gvp,
         "max_ku": plan.max_ku, "max_kv": plan.max_kv,
-        "gb_device": round(4 * plan.s.nbytes / 1e9, 2),
     }), flush=True)
-
     t0 = time.perf_counter()
-    n_gvc0 = plan.n_gvp // kmax
-    base = tuple(
-        jnp.asarray(x.reshape(plan.n_gu, n_gvc0, kmax,
-                              x.shape[2], x.shape[3]))
-        for x in (plan.s, plan.w, plan.st, plan.wt)
-    )
-    _ = float(jnp.sum(base[1][0, 0, 0, :8].astype(jnp.float32)))
-    print(json.dumps({"upload_s": round(time.perf_counter() - t0, 1)}),
+    dev = runner.dev
+    _ = float(jnp.sum(dev[1][0, 0, :8].astype(jnp.float32)))
+    print(json.dumps({"densify_s": round(time.perf_counter() - t0, 1)}),
           flush=True)
 
-    def mk_dev(k):
-        assert plan.n_gvp % k == 0, (plan.n_gvp, k)
-        n_gvc = plan.n_gvp // k
-        return tuple(
-            x.reshape(plan.n_gu, n_gvc, k, x.shape[3], x.shape[4])
-            for x in base
-        )
-
     tasks = []
-    curves = {}
+    protos = {}
     for dim in (int(x) for x in args.dims.split(",")):
         params = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, dim, gb=gb)
-        # one throwaway runner provides pad/trim for this dim
-        proto = DenseEpochRunner.__new__(DenseEpochRunner)
-        proto.plan, proto.saturate = plan, True
-        proto.nu, proto.nv = ds.nu, ds.nv
-        proto.tile_u = proto.tile_v = args.tile
-        proto.mxu, proto.interpret = "bfloat16", False
-        proto._dev = base
-        proto.k_cells = kmax
-        tables0 = proto.pad(params)
+        runner.dim = dim  # pad() sets it; set explicitly for the raw calls
+        tables0 = runner.pad(params)
+        protos[dim] = runner
         for k in ks:
-            dev = mk_dev(k)
+            if plan.n_gvp % k:
+                continue
 
-            def step(tables, i, dev=dev, k=k, dim=dim):
+            def step(tables, i, k=k, dim=dim):
                 cap = max(1.0, 0.2 / eta)
                 hyper = jnp.asarray([eta, lam, gb, cap], jnp.float32)
                 return _run_dense_epoch(
@@ -99,7 +77,6 @@ def main() -> int:
             tasks.append(_Task(
                 f"d{dim}k{k}", step,
                 tuple(x + 0.0 for x in tables0), plan.n_real))
-        curves[dim] = proto
 
     rates = _run_tasks(tasks)
     out = {lbl: round(r) for lbl, r in sorted(rates.items())}
@@ -109,10 +86,11 @@ def main() -> int:
     tb = best64.tables
     for i in range(3):
         tb = best64.step(tb, i)
-    proto = curves[64] if 64 in curves else list(curves.values())[0]
-    proto.dim = 64 if 64 in curves else list(curves)[0]
+    proto = protos.get(64) or next(iter(protos.values()))
+    proto.dim = 64 if 64 in protos else next(iter(protos))
     val = float(rmse(proto.trim(tb), ds))
     out["sanity_trainRMSE"] = round(val, 4)
+    out["timing"] = _spread(tasks)
     print(json.dumps(out), flush=True)
     return 0
 

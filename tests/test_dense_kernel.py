@@ -131,13 +131,19 @@ def test_dense_converges():
 
 def test_dense_plan_stats_and_eligibility():
     ds = synthetic_ratings(100, 80, 4000, rank=2, seed=4)
-    plan = prepare_dense(ds, 32, 32, 2, np.float32)
+    plan = prepare_dense(ds, 32, 32, 2)
+    s, w, st, wt = plan.host_matrices()
     # sums/counts account for every rating exactly
-    assert plan.w.sum() == len(ds)
-    np.testing.assert_allclose(plan.s.sum(), ds.r.sum(), rtol=1e-6)
-    np.testing.assert_array_equal(
-        np.swapaxes(plan.s, 2, 3), plan.st)
+    assert w.sum() == len(ds)
+    np.testing.assert_allclose(s.sum(), ds.r.sum(), rtol=1e-6)
+    np.testing.assert_array_equal(np.swapaxes(s, 2, 3), st)
+    np.testing.assert_array_equal(np.swapaxes(w, 2, 3), wt)
     assert plan.max_ku >= 1 and plan.max_kv >= 1
+    # device build agrees with the host matrices
+    r = DenseEpochRunner(ds, tile_u=32, tile_v=32, k_cells=2,
+                         mxu="float32", interpret=True)
+    np.testing.assert_allclose(np.asarray(r.dev[0]), s, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r.dev[3]), wt, atol=1e-6)
     params = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 8, gb=0.0)
     assert dense_eligible(params, ds)
     # a Netflix-scale shape must be refused (34 GB of dense matrices)
