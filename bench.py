@@ -23,7 +23,9 @@ Honesty rules (round-3 VERDICT #3):
 Headline config: ML-10M scale (nu=69878, nv=10677, 10M ratings), rank 64
 (BASELINE.json configs[2] shape). "extra" records rank 8 (the small-rank
 production path, reporting the kernel + epoch the switch schedule engages)
-and the reference-default dim=128 (main.cc:98) on the 256-lane fused kernel.
+and the reference-default dim=128 (main.cc:98). At this shape the schedule
+selects the dense-cell kernel (ops/pallas_sgd_dense.py) from its
+A/B-calibrated engagement epoch (1 at dims 64/128; later at dim 8).
 Counts only REAL ratings (cell padding excluded). Falls back to the XLA
 path off-TPU.
 """
@@ -156,6 +158,7 @@ def main() -> None:
         # every schedule phase for the whole-run weighting), dim 128
         # (reference CLI default, 256-lane rows).
         scheds = {}
+        dense_devs = {}
         for key, dim in (("rank64", 64), ("rank8", 8), ("dim128", 128)):
             cfg = TrainConfig(dim=dim, iters=15, eta=eta, lam=lam, gb=gb)
             p = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, dim, gb=gb)
@@ -167,6 +170,16 @@ def main() -> None:
                 extra[f"{key}_engaged_epoch"] = engage
             phases = sched if key == "rank8" else sched[-1:]
             for ep, r in phases:
+                if type(r).__name__ == "DenseEpochRunner":
+                    # the dense cell matrices are dim-independent: share
+                    # one device copy across the three MF configs (4.5 GB
+                    # each; three copies would crowd the 16 GB chip)
+                    kd = (r.plan.n_gu, r.plan.n_gvp, r.tile_u, r.tile_v,
+                          str(r.dtype))
+                    if kd in dense_devs:
+                        r._dev = dense_devs[kd]
+                    else:
+                        dense_devs[kd] = r.dev
                 tasks.append(_Task(
                     f"{key}@{ep}", mf_step(r, cfg.eta_at(max(1, ep))),
                     r.pad(p), r.plan.n_real,

@@ -27,6 +27,9 @@ def main() -> int:
     ap.add_argument("--dims", default="8,64,128")
     ap.add_argument("--ks", default="42,21,14,7")
     ap.add_argument("--tile", type=int, default=256)
+    ap.add_argument("--ablate", default="0",
+                    help="comma list of ablate levels per task "
+                         "(0 full, 2 DMA-only stream walk)")
     args = ap.parse_args()
 
     import jax
@@ -64,25 +67,28 @@ def main() -> int:
         for k in ks:
             if plan.n_gvp % k:
                 continue
-
-            def step(tables, i, k=k, dim=dim):
-                cap = max(1.0, 0.2 / eta)
-                hyper = jnp.asarray([eta, lam, gb, cap], jnp.float32)
-                return _run_dense_epoch(
-                    tables[0], tables[1], *dev, hyper,
-                    tile_u=args.tile, tile_v=args.tile, k_cells=k,
-                    dim=dim, n_gu=plan.n_gu, n_gvp=plan.n_gvp,
-                    mxu="bfloat16", interpret=False, saturate=True,
-                )
-            tasks.append(_Task(
-                f"d{dim}k{k}", step,
-                tuple(x + 0.0 for x in tables0), plan.n_real))
+            for abl in (int(x) for x in args.ablate.split(",")):
+                def step(tables, i, k=k, dim=dim, abl=abl):
+                    cap = max(1.0, 0.2 / eta)
+                    hyper = jnp.asarray([eta, lam, gb, cap], jnp.float32)
+                    return _run_dense_epoch(
+                        tables[0], tables[1], *dev, hyper,
+                        tile_u=args.tile, tile_v=args.tile, k_cells=k,
+                        dim=dim, n_gu=plan.n_gu, n_gvp=plan.n_gvp,
+                        mxu="bfloat16", interpret=False, saturate=True,
+                        ablate=abl,
+                    )
+                suffix = f"a{abl}" if abl else ""
+                tasks.append(_Task(
+                    f"d{dim}k{k}{suffix}", step,
+                    tuple(x + 0.0 for x in tables0), plan.n_real))
 
     rates = _run_tasks(tasks)
     out = {lbl: round(r) for lbl, r in sorted(rates.items())}
     # quick sanity: 3 more epochs on the best rank-64 task -> finite RMSE
-    best64 = max((t for t in tasks if t.label.startswith("d64")),
-                 key=lambda t: rates[t.label])
+    full64 = [t for t in tasks
+              if t.label.startswith("d64") and "a" not in t.label]
+    best64 = max(full64 or tasks, key=lambda t: rates[t.label])
     tb = best64.tables
     for i in range(3):
         tb = best64.step(tb, i)

@@ -150,3 +150,81 @@ def test_dense_plan_stats_and_eligibility():
     big = RatingsCOO(u=np.zeros(1, np.int32), v=np.zeros(1, np.int32),
                      r=np.ones(1, np.float32), nu=480_189, nv=17_770)
     assert not dense_eligible(params, big)
+
+
+def test_dense_schedule_engagement():
+    """_mf_runner_schedule must end on the dense-cell runner for
+    dense-eligible shapes, engaging at the A/B-calibrated window bound
+    (epoch 1 at dim >= 16; first eta*max_k <= 1.8 epoch at dim 8), and
+    --no-dense must restore the one-hot schedule."""
+    from tpu_mf.config import TrainConfig
+    from tpu_mf.ops.pallas_sgd_dense import dense_engage_epoch
+    from tpu_mf.train.loop import _mf_runner_schedule
+
+    from tpu_mf.ops.pallas_sgd_dense import pick_dense_tiles
+
+    ds = synthetic_ratings(400, 250, 30000, rank=3, seed=8, zipf=1.2)
+    tu, tv = pick_dense_tiles(ds.nu, ds.nv)
+    plan = prepare_dense(ds, tu, tv)
+    maxk = max(plan.max_ku, plan.max_kv)
+
+    # dim 64, eta inside the dim>=16 bound (5.5): dense from epoch 1
+    params64 = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 64, gb=3.0)
+    cfg64 = TrainConfig(dim=64, iters=6, eta=5.0 / maxk, gam=1.0, seed=0)
+    sched = _mf_runner_schedule(cfg64, ds, params64, lambda *_: None)
+    assert type(sched[-1][1]).__name__ == "DenseEpochRunner"
+    e = dense_engage_epoch(cfg64.eta_at, cfg64.iters, 64,
+                           sched[-1][1].plan)
+    assert sched[-1][0] == e == 1 and len(sched) == 1
+
+    # dim 8 at the same eta engages later (bound 1.8); pre-dense epochs
+    # get a one-hot phase
+    params8 = init_mf(jax.random.PRNGKey(0), ds.nu, ds.nv, 8, gb=3.0)
+    cfg8 = TrainConfig(dim=8, iters=6, eta=3.0 / maxk, gam=1.0, seed=0)
+    sched8 = _mf_runner_schedule(cfg8, ds, params8, lambda *_: None)
+    assert type(sched8[-1][1]).__name__ == "DenseEpochRunner"
+    assert sched8[-1][0] == 2  # eta_at(2)*maxk = 1.5 <= 1.8 < eta0*maxk
+    assert sched8[0][0] == 1
+    assert type(sched8[0][1]).__name__ != "DenseEpochRunner"
+    eps = [ep for ep, _ in sched8]
+    assert eps == sorted(eps) and len(set(eps)) == len(eps)
+
+    # kill switch
+    cfg_off = TrainConfig(dim=64, iters=6, eta=2e-2, gam=1.0, seed=0,
+                          use_dense=False)
+    sched_off = _mf_runner_schedule(cfg_off, ds, params64, lambda *_: None)
+    assert all(type(r).__name__ != "DenseEpochRunner" for _, r in sched_off)
+
+
+def test_dense_wless_matches_oracle():
+    """Unique (u, v) pairs + nonzero ratings select the W-less variant
+    (counts derived on-chip from S != 0; no W/WT streams) — replay-exact
+    against the same cell oracle; duplicate data must keep W streams."""
+    rng = np.random.default_rng(7)
+    pairs = rng.choice(60 * 40, size=1200, replace=False)
+    u = (pairs // 40).astype(np.int32)
+    v = (pairs % 40).astype(np.int32)
+    r = rng.uniform(0.5, 5.0, size=1200).astype(np.float32)
+    ds = RatingsCOO(u=u, v=v, r=r, nu=60, nv=40)
+    params = init_mf(jax.random.PRNGKey(3), 60, 40, 8, gb=2.5)
+    runner = _mk_runner(ds, saturate=True)
+    assert runner.plan.wless
+    assert runner.dev[1] is None and runner.dev[3] is None
+    tables = runner.pad(params)
+    tables = runner.epoch(tables, 0.03, 0.01, 2.5)
+    got = runner.trim(tables)
+    th, ph, bu, bv = dense_oracle(params, ds, 16, 16, 4, 0.03, 0.01, True)
+    np.testing.assert_allclose(np.asarray(got.theta), th[:60], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.phi), ph[:40], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.bu), bu[:60], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(got.bv), bv[:40], atol=2e-5)
+
+    # duplicates (or zero ratings) force the streamed-W variant
+    dup = RatingsCOO(u=np.array([0, 0], np.int32),
+                     v=np.array([1, 1], np.int32),
+                     r=np.array([3.0, 4.0], np.float32), nu=8, nv=8)
+    assert not prepare_dense(dup, 8, 8, 1).wless
+    z = RatingsCOO(u=np.array([0, 1], np.int32),
+                   v=np.array([1, 2], np.int32),
+                   r=np.array([3.0, 0.0], np.float32), nu=8, nv=8)
+    assert not prepare_dense(z, 8, 8, 1).wless

@@ -232,7 +232,10 @@ def test_pick_mf_runners_switch_schedule():
     # eta0 fails the envelope; eta0/iters passes it.
     eta0 = 0.3 / dup
     iters = 6
-    cfg = TrainConfig(dim=8, iters=iters, eta=eta0, gam=1.0, seed=0)
+    # use_dense=False: these tests exercise the slot phase ladder,
+    # which the dense-cell kernel displaces on dense-eligible shapes
+    cfg = TrainConfig(dim=8, iters=iters, eta=eta0, gam=1.0, seed=0,
+                      use_dense=False)
     logs = []
     sched = _mf_runner_schedule(cfg, ds, params, logs.append)
     assert len(sched) >= 2
@@ -254,7 +257,8 @@ def test_pick_mf_runners_switch_schedule():
     )
     assert switch_it == sched[-1][0]
     # Cold eta0 inside every envelope: slot from epoch 1.
-    cfg2 = TrainConfig(dim=8, iters=iters, eta=0.19 / dup, gam=1.0, seed=0)
+    cfg2 = TrainConfig(dim=8, iters=iters, eta=0.19 / dup, gam=1.0,
+                       seed=0, use_dense=False)
     sched2 = _mf_runner_schedule(cfg2, ds, params, logs.append)
     assert sched2[0][0] == 1
     assert isinstance(sched2[0][1], SlotEpochRunner)
@@ -279,7 +283,10 @@ def test_schedule_small_window_early_engagement():
     dup = max(auto._dup_max[8], auto._vdup_max[8])
     # eta_at(t) = eta0/t clears the AUTO envelope first at t = 5.
     iters, eta0 = 10, 1.0 / dup
-    cfg = TrainConfig(dim=8, iters=iters, eta=eta0, gam=1.0, seed=0)
+    # use_dense=False: these tests exercise the slot phase ladder,
+    # which the dense-cell kernel displaces on dense-eligible shapes
+    cfg = TrainConfig(dim=8, iters=iters, eta=eta0, gam=1.0, seed=0,
+                      use_dense=False)
     logs = []
     sched = _mf_runner_schedule(cfg, ds, params, logs.append)
     # The auto-sub plan engages at epoch 5 here; the probe must find a

@@ -64,6 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="devices for diagonal-block DSGD (1 = single chip)")
     p.add_argument("--no-pallas", action="store_true",
                    help="disable fused Pallas kernels (pure-JAX fallback)")
+    p.add_argument("--no-dense", action="store_true",
+                   help="disable the dense-cell MF kernel (keep the "
+                        "streaming one-hot kernels even when the cell "
+                        "matrices fit HBM)")
     p.add_argument("--stream", action="store_true",
                    help="stream the training file from disk each epoch "
                         "instead of staging it on device (out-of-core; "
@@ -93,6 +97,7 @@ def config_from_args(args: argparse.Namespace) -> TrainConfig:
         noise_size=args.noise_size, eta_reg=args.eta_reg, loss=args.loss,
         measure=args.measure, batch_size=args.batch_size, seed=args.seed,
         dtype=args.dtype, mesh=args.mesh, use_pallas=not args.no_pallas,
+        use_dense=not args.no_dense,
         metrics=args.metrics, trace=args.trace, resume=args.resume,
     )
 

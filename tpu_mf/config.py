@@ -66,6 +66,7 @@ class TrainConfig:
     dtype: str = "float32"     # storage dtype of factor tables
     mesh: int = 1              # number of devices for diagonal-block DSGD
     use_pallas: bool = True    # use fused Pallas kernel when eligible
+    use_dense: bool = True     # dense-cell MF kernel when cells fit HBM
     eval_batch: int = 1 << 20  # chunk size for RMSE evaluation
 
     # --- observability / failure recovery (SURVEY §5; no reference counterpart) ---

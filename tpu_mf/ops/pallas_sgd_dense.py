@@ -84,13 +84,19 @@ class DensePlan(NamedTuple):
     n_real: int
     max_ku: int      # max per-cell per-user-row count (envelope)
     max_kv: int
+    mean_ku: float   # mean count over OCCUPIED (row, cell) pairs
+    mean_kv: float
+    max_w: int       # max (u, v) pair multiplicity (int8 W eligibility)
+    wless: bool      # counts derivable on-chip: unique pairs, no 0 rating
 
     def host_matrices(self, dtype=np.float32):
         """(s, w, st, wt) as numpy — tests/small shapes only; the runner
         builds them ON DEVICE (the 4 matrices are ~99% zeros at real
         densities, so shipping them through the tunnel is ~100x slower
-        than scattering the COO device-side: measured 556 s vs ~1 s at
-        ML-10M shape)."""
+        than scattering the 8-byte-per-rating COO device-side: 556 s
+        upload vs ~0.15 s warm scatter + ~1 s compile at ML-10M shape —
+        benchmarks/probe_densify2.py; the tunnel's cold-start minutes
+        dominate either way on the first transfer of a process)."""
         shape = (self.n_gu, self.n_gvp, self.tile_u, self.tile_v)
         s = np.zeros(int(np.prod(shape)), np.float32)
         w = np.zeros_like(s)
@@ -98,6 +104,61 @@ class DensePlan(NamedTuple):
         np.add.at(w, self.flat, 1.0)
         s, w = s.reshape(shape).astype(dtype), w.reshape(shape).astype(dtype)
         return s, w, np.swapaxes(s, 2, 3), np.swapaxes(w, 2, 3)
+
+
+def pick_dense_tiles(nu: int, nv: int) -> tuple[int, int]:
+    """Cell tile sizes. 256x256 at ML-10M scale and above; smaller tables
+    shrink the tiles so the grid keeps >= ~8 cells per axis — on a 500x300
+    table a 256-tile grid is 2x2 and each cell window holds a quarter of
+    the dataset, which flat-lined the /verify convergence drive (tRMSE
+    0.504 vs 0.46; 2026-08-20). tu can drop to 64 (sublane-aligned); tv
+    stays >= 128 (it is the lane axis of the S blocks)."""
+    def up(x, q):
+        return cdiv(x, q) * q
+
+    tu = min(256, max(64, up(cdiv(nu, 8), 8)))
+    tv = min(256, max(128, up(cdiv(nv, 8), 128)))
+    return tu, tv
+
+
+def pick_k_cells(n_gv: int, dim: int) -> int:
+    """Cells per grid step. Measured at ML-10M (benchmarks/bench_dense.py):
+    128-lane rows want the whole item-tile row per step (k=42: 651-659M/s
+    vs 588-607 at k<=21 — fewer grid steps win); 256-lane rows flip (k=7:
+    445M/s vs 425 at k=42 — the unroll's VMEM pressure bites first). Cap
+    the unroll at 48 cells (compile time) and pick the k that pads n_gv
+    least within the target."""
+    target = 48 if row_lanes(dim) <= 128 else 8
+    chunks = cdiv(n_gv, target)
+    return cdiv(n_gv, chunks)
+
+
+def dense_engage_epoch(eta_at, iters, dim, plan, start=0):
+    """First epoch whose eta clears the dense window bound, or None.
+
+    The dense window is one cell: a row hit k times takes k gradients from
+    one stale point (saturation caps the step, but cannot recover the lost
+    sequential progress — the striped-SGD lesson, PERF_NOTES round 5).
+    Calibrated by 15-epoch RMSE-trajectory A/Bs on calibrated ML-10M
+    (benchmarks/ab_dense.py, 2026-08-20): at dim>=16 epoch 1 is
+    parity-safe at eta*max_k = 5.3 (dim 64: final delta +1.6e-5; dim 128:
+    +1.7e-4), at dim 8 epoch 1 breaks (+1.5e-2) and epoch 3 holds
+    (+3.4e-4, eta*max_k = 1.77). Thresholds 5.5 / 1.8 round those
+    measured operating points.
+
+    Second condition, eta*mean_k <= 0.25: the saturation cap (0.2/eta
+    total step per row per cell) must not bind on the TYPICAL row, only
+    on zipf heads — when it binds broadly, training stalls rather than
+    diverges (the /verify 500x300 drive: eta*mean_k = 1.35 flat-lined at
+    tRMSE 0.503 vs 0.46; every parity-clean ML-10M point sits at
+    <= 0.068)."""
+    bound = 5.5 if dim >= 16 else 1.8
+    max_k = max(plan.max_ku, plan.max_kv)
+    mean_k = max(plan.mean_ku, plan.mean_kv)
+    for it in range(start + 1, iters + 1):
+        if eta_at(it) * max_k <= bound and eta_at(it) * mean_k <= 0.25:
+            return it
+    return None
 
 
 def prepare_dense(
@@ -121,14 +182,34 @@ def prepare_dense(
     gu, ul = u // tile_u, u % tile_u
     gv, vl = v // tile_v, v % tile_v
     flat = ((gu * n_gvp + gv) * tile_u + ul) * tile_v + vl
+    # sorted COO: the XLA scatter-add takes indices_are_sorted (measured
+    # 13.3 s -> 1.2 s first call at 10M, benchmarks/probe_densify2.py),
+    # and the host argsort is ~1.5 s once per plan
+    order = np.argsort(flat, kind="stable")
+    flat = flat[order]
+    r = ds.r[order]
     # envelope stats: per-cell per-row rating counts via compound keys
     ku = np.bincount(u * n_gv + gv, minlength=1)
     kv = np.bincount(v * n_gu + gu, minlength=1)
+    # max (u, v) pair multiplicity = longest run in the sorted flat index
+    if len(flat) > 1:
+        bnd = np.flatnonzero(np.diff(flat))
+        runs = np.diff(np.concatenate([[-1], bnd, [len(flat) - 1]]))
+        max_w = int(runs.max())
+    else:
+        max_w = len(flat)
     return DensePlan(
-        flat=flat.astype(np.int32), r=ds.r.astype(np.float32),
+        flat=flat.astype(np.int32), r=r.astype(np.float32),
         tile_u=tile_u, tile_v=tile_v,
         n_gu=n_gu, n_gv=n_gv, n_gvp=n_gvp, k_cells=k_cells, n_real=len(ds),
         max_ku=int(ku.max()), max_kv=int(kv.max()),
+        mean_ku=float(len(ds) / max(1, (ku > 0).sum())),
+        mean_kv=float(len(ds) / max(1, (kv > 0).sum())),
+        max_w=max_w,
+        # real rating datasets (ML/Netflix/Yahoo) have unique (u, v) pairs
+        # and no 0.0 ratings: W == (S != 0) can be derived ON CHIP, so the
+        # W/WT streams (1/3 of the epoch's HBM traffic) need not exist
+        wless=bool(max_w == 1 and np.all(r != 0.0)),
     )
 
 
@@ -141,20 +222,34 @@ def _densify_pair(flat, vals, *, n_gu, n_gvp, tile_u, tile_v, out_dtype):
     in-cell transpose, f32 accumulate -> out_dtype. Runs where the arrays
     will live (TPU HBM; CPU under tests)."""
     total = n_gu * n_gvp * tile_u * tile_v
-    x = jnp.zeros((total,), jnp.float32).at[flat].add(vals)
+    x = jnp.zeros((total,), jnp.float32).at[flat].add(
+        vals, indices_are_sorted=True)
     x4 = x.reshape(n_gu, n_gvp, tile_u, tile_v)
     return x4.astype(out_dtype), jnp.swapaxes(x4, 2, 3).astype(out_dtype)
 
 
+def _as_f32(x):
+    """int8 counts -> f32 via int32 (uint/int8 -> f32 direct casts do not
+    lower in this Mosaic version); everything else casts directly."""
+    if x.dtype == jnp.int8:
+        return x.astype(jnp.int32).astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
 def _dense_kernel(
     hyper_ref,
-    s_ref, w_ref, st_ref, wt_ref, theta_ref,
-    phi_hbm,                      # HBM-resident, aliased with phi_out
-    theta_out, phi_out,
-    sem,
-    *, tile_u: int, tile_v: int, k_cells: int, dim: int, lanes: int,
-    mxu_dtype, saturate: bool,
+    *refs,
+    tile_u: int, tile_v: int, k_cells: int, dim: int, lanes: int,
+    mxu_dtype, saturate: bool, ablate: int = 0, wless: bool = False,
 ):
+    if wless:
+        # unique pairs + nonzero ratings: counts are the S != 0 mask
+        (s_ref, st_ref, theta_ref, phi_hbm,
+         theta_out, phi_out, sem) = refs
+        w_ref = wt_ref = None
+    else:
+        (s_ref, w_ref, st_ref, wt_ref, theta_ref, phi_hbm,
+         theta_out, phi_out, sem) = refs
     eta = hyper_ref[0]
     lam = hyper_ref[1]
     gb = hyper_ref[2]
@@ -178,10 +273,6 @@ def _dense_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, lanes), 1)
     m_keep_u = (lane <= dim).astype(jnp.float32)
     m_keep_v = ((lane < dim) | (lane == dim + 1)).astype(jnp.float32)
-    # counts ride the OTHER side's homogeneous one-lane through the
-    # M-concat matmul: phi rows are [fac | 1 | bv], theta [fac | bu | 1].
-    m_one_v = (lane == dim).astype(jnp.float32)
-    m_one_u = (lane == dim + 1).astype(jnp.float32)
     lameta = 1.0 - eta * lam
     ln_lameta = jnp.log(lameta)
 
@@ -192,6 +283,19 @@ def _dense_kernel(
     def sat(k):
         return jnp.minimum(1.0, cap / jnp.maximum(k, 1.0))
 
+    if ablate == 2:
+        # DMA-only grid walk: touch every stream, no matmuls/applies —
+        # separates the S/W stream bandwidth from compute (overlap probe).
+        acc = jnp.zeros((1, lanes), jnp.float32)
+        for k in range(k_cells):
+            acc += jnp.sum(_as_f32(s_ref[0, k])) + jnp.sum(
+                _as_f32(st_ref[0, k]))
+            if not wless:
+                acc += jnp.sum(_as_f32(w_ref[0, k])) + jnp.sum(
+                    _as_f32(wt_ref[0, k]))
+        theta_out[:] = theta_ref[:] + 1e-30 * acc
+        return
+
     theta = theta_out[:]
     for k in range(k_cells):
         off = pl.multiple_of((j * k_cells + k) * tile_v, tile_v)
@@ -200,30 +304,29 @@ def _dense_kernel(
         pb = phi_t.astype(mxu_dtype)
         dn = (((1,), (1,)), ((), ()))               # contract lane axes
 
-        # user side
+        # user side. Per-row update counts are plain W row-sums on the
+        # VPU — the round-4 design pushed them through a [E; W] M-concat
+        # matmul, which DOUBLED the gather-side MXU flops (12 -> 8 tile
+        # matmul units per cell once both sides drop the concat).
         pred = jax.lax.dot_general(
             tb, pb, dn, preferred_element_type=jnp.float32) + gb
-        sm = s_ref[0, k].astype(jnp.float32)        # (tu, tv)
-        wm = w_ref[0, k].astype(jnp.float32)
+        sm = _as_f32(s_ref[0, k])                   # (tu, tv)
+        wm = ((sm != 0.0).astype(jnp.float32) if wless
+              else _as_f32(w_ref[0, k]))
         e = (sm - wm * pred).astype(mxu_dtype)
-        ew = jnp.concatenate([e, wm.astype(mxu_dtype)], axis=0)
-        g = jnp.dot(ew, pb, preferred_element_type=jnp.float32)
-        d_th = g[:tile_u, :]
-        k_u = jnp.sum(
-            g[tile_u:, :] * m_one_v, axis=1, keepdims=True)
+        d_th = jnp.dot(e, pb, preferred_element_type=jnp.float32)
+        k_u = jnp.sum(wm, axis=1, keepdims=True)
 
         # item side (transposed copies; old theta, like the gen-1
         # column's rhs_v = err * t_old)
         predt = jax.lax.dot_general(
             pb, tb, dn, preferred_element_type=jnp.float32) + gb
-        smt = st_ref[0, k].astype(jnp.float32)      # (tv, tu)
-        wmt = wt_ref[0, k].astype(jnp.float32)
+        smt = _as_f32(st_ref[0, k])                 # (tv, tu)
+        wmt = ((smt != 0.0).astype(jnp.float32) if wless
+               else _as_f32(wt_ref[0, k]))
         et = (smt - wmt * predt).astype(mxu_dtype)
-        ewt = jnp.concatenate([et, wmt.astype(mxu_dtype)], axis=0)
-        gt = jnp.dot(ewt, tb, preferred_element_type=jnp.float32)
-        d_ph = gt[:tile_v, :]
-        k_v = jnp.sum(
-            gt[tile_v:, :] * m_one_u, axis=1, keepdims=True)
+        d_ph = jnp.dot(et, tb, preferred_element_type=jnp.float32)
+        k_v = jnp.sum(wmt, axis=1, keepdims=True)
 
         d_th = d_th * eta
         d_ph = d_ph * eta
@@ -242,46 +345,51 @@ def _dense_kernel(
     donate_argnums=(0, 1),
     static_argnames=(
         "tile_u", "tile_v", "k_cells", "dim", "n_gu", "n_gvp", "mxu",
-        "interpret", "saturate",
+        "interpret", "saturate", "ablate",
     ),
 )
 def _run_dense_epoch(
     theta_ext, phi_ext, s, w, st, wt, hyper,
     *, tile_u, tile_v, k_cells, dim, n_gu, n_gvp,
-    mxu="bfloat16", interpret=False, saturate=True,
+    mxu="bfloat16", interpret=False, saturate=True, ablate=0,
 ):
     lanes = row_lanes(dim)
     n_gvc = n_gvp // k_cells
+    wless = w is None
     kernel = functools.partial(
         _dense_kernel,
         tile_u=tile_u, tile_v=tile_v, k_cells=k_cells, dim=dim,
         lanes=lanes, mxu_dtype=jnp.dtype(mxu), saturate=saturate,
+        ablate=ablate, wless=wless,
     )
+    # 4D (n_gu, n_gvp, t, t) arrays blocked (1, k_cells, t, t): k_cells is
+    # purely a grid-step unroll knob — no reshape of the device arrays (a
+    # jnp.reshape materializes a 1.5GB copy per variant; three variants
+    # OOMed the chip).
+    cell_u = pl.BlockSpec((1, k_cells, tile_u, tile_v),
+                          lambda i, j, h: (i, j, 0, 0))
+    cell_v = pl.BlockSpec((1, k_cells, tile_v, tile_u),
+                          lambda i, j, h: (i, j, 0, 0))
+    in_specs = [cell_u] + ([] if wless else [cell_u]) + [cell_v] + (
+        [] if wless else [cell_v]) + [
+        pl.BlockSpec((tile_u, lanes), lambda i, j, h: (i, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),      # phi (HBM)
+    ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,  # hyper
         grid=(n_gu, n_gvc),
-        in_specs=[
-            # 4D (n_gu, n_gvp, t, t) arrays blocked (1, k_cells, t, t):
-            # k_cells is purely a grid-step unroll knob — no reshape of
-            # the device arrays (a jnp.reshape materializes a 1.5GB copy
-            # per variant; three variants OOMed the chip).
-            pl.BlockSpec((1, k_cells, tile_u, tile_v),
-                         lambda i, j, h: (i, j, 0, 0)),
-            pl.BlockSpec((1, k_cells, tile_u, tile_v),
-                         lambda i, j, h: (i, j, 0, 0)),
-            pl.BlockSpec((1, k_cells, tile_v, tile_u),
-                         lambda i, j, h: (i, j, 0, 0)),
-            pl.BlockSpec((1, k_cells, tile_v, tile_u),
-                         lambda i, j, h: (i, j, 0, 0)),
-            pl.BlockSpec((tile_u, lanes), lambda i, j, h: (i, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),      # phi (HBM)
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((tile_u, lanes), lambda i, j, h: (i, 0)),
             pl.BlockSpec((n_gvp * tile_v, lanes), lambda i, j, h: (0, 0)),
         ],
         scratch_shapes=[pltpu.SemaphoreType.DMA],
     )
+    # operands after the scalar-prefetch arg:
+    #   s=1 w=2 st=3 wt=4 theta=5 phi=6   (wless: s=1 st=2 theta=3 phi=4)
+    operands = ((hyper, s, st, theta_ext, phi_ext) if wless
+                else (hyper, s, w, st, wt, theta_ext, phi_ext))
+    alias_base = 3 if wless else 5
     theta_ext, phi_ext = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -291,11 +399,9 @@ def _run_dense_epoch(
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
-        # operands after the scalar-prefetch arg: s=1 w=2 st=3 wt=4
-        # theta=5 phi=6
-        input_output_aliases={5: 0, 6: 1},
+        input_output_aliases={alias_base: 0, alias_base + 1: 1},
         interpret=interpret,
-    )(hyper, s, w, st, wt, theta_ext, phi_ext)
+    )(*operands)
     return theta_ext, phi_ext
 
 
@@ -311,16 +417,22 @@ class DenseEpochRunner:
     def __init__(
         self,
         ds: RatingsCOO,
-        tile_u: int = 256,
-        tile_v: int = 256,
-        k_cells: int = 8,
+        tile_u: int | None = None,    # None -> pick_dense_tiles
+        tile_v: int | None = None,
+        k_cells: int | None = None,   # None -> pick_k_cells (needs dim)
         seed: int = 0,          # accepted for interface parity; unused
         mxu: str = "bfloat16",
         interpret: bool = False,
         saturate: bool = True,
         dtype=None,
+        dim: int | None = None,
     ):
         del seed
+        if tile_u is None or tile_v is None:
+            pu, pv = pick_dense_tiles(ds.nu, ds.nv)
+            tile_u, tile_v = tile_u or pu, tile_v or pv
+        if k_cells is None:
+            k_cells = pick_k_cells(cdiv(ds.nv, tile_v), dim or 8)
         self.saturate = saturate
         self.nu, self.nv = ds.nu, ds.nv
         self.mxu = mxu
@@ -354,15 +466,25 @@ class DenseEpochRunner:
         """Scatter the COO into the dense S/W/ST/WT matrices ON DEVICE.
 
         Uploads only the 8-byte-per-rating COO; the ~99%-zero matrices are
-        built by two XLA scatter-adds + in-cell transposes (measured at
-        ML-10M shape: <1 s steady vs 95 s host build + 556 s upload)."""
+        built by two XLA scatter-adds + in-cell transposes (sorted-index
+        scatter: ~1.2 s first call, ~0.15 s warm at ML-10M shape —
+        benchmarks/probe_densify2.py)."""
         if self._dev is None:
             p = self.plan
             flat = jnp.asarray(p.flat)
             kw = dict(n_gu=p.n_gu, n_gvp=p.n_gvp, tile_u=p.tile_u,
                       tile_v=p.tile_v, out_dtype=jnp.dtype(self.dtype))
             s, st = _densify_pair(flat, jnp.asarray(p.r), **kw)
-            w, wt = _densify_pair(flat, jnp.ones_like(p.r), **kw)
+            if p.wless:
+                # unique pairs, no zero ratings: W == (S != 0) in-kernel;
+                # the W/WT streams (1/3 of epoch HBM traffic) don't exist
+                w = wt = None
+            else:
+                # counts are small exact ints: int8 streams halve the
+                # W-side HBM traffic vs bf16 (exact <= 127 dups per pair)
+                if p.max_w <= 127:
+                    kw["out_dtype"] = jnp.int8
+                w, wt = _densify_pair(flat, jnp.ones_like(p.r), **kw)
             self._dev = (s, w, st, wt)
         return self
 
@@ -412,10 +534,13 @@ class _DensePlanView:
 
 def dense_eligible(
     params: MFParams, ds: RatingsCOO, budget: int = DENSE_BUDGET,
-    tile_u: int = 256, tile_v: int = 256,
+    tile_u: int | None = None, tile_v: int | None = None,
 ) -> bool:
     """True when the 4 dense matrices fit the HBM budget and the fused row
     width fits VMEM residency for phi (same check as pallas_eligible)."""
+    if tile_u is None or tile_v is None:
+        pu_, pv_ = pick_dense_tiles(ds.nu, ds.nv)
+        tile_u, tile_v = tile_u or pu_, tile_v or pv_
     dim = params.theta.shape[1]
     try:
         lanes = row_lanes(dim)

@@ -317,6 +317,37 @@ def _mf_runner_schedule(cfg, train_ds, params, log, start=0):
             f"fused epochs, {runner.n_shards} shards, tiles "
             f"{runner.tile_u}x{runner.tile_v}, batch {runner.batch}")
         return [(start + 1, runner)]
+
+    # Dense-cell kernel (ops/pallas_sgd_dense.py): when the rating matrix's
+    # (user-tile x item-tile) cells fit HBM as dense sum/count tiles, the
+    # epoch is plain tile matmuls — 2.1x the one-hot kernels at rank 64
+    # (the round-5 roofline's named wall; PERF_NOTES). Engagement epoch is
+    # the A/B-calibrated dense window bound (dense_engage_epoch); earlier
+    # epochs run the regular packed/slot ladder below.
+    from tpu_mf.ops.pallas_sgd_dense import (
+        DenseEpochRunner,
+        dense_eligible,
+        dense_engage_epoch,
+    )
+
+    dense_from = None
+    dense_r = None
+    if getattr(cfg, "use_dense", True) and dense_eligible(params, train_ds):
+        dense_r = DenseEpochRunner(
+            train_ds, seed=cfg.seed, saturate=True, dim=cfg.dim,
+        )
+        dense_from = dense_engage_epoch(
+            cfg.eta_at, cfg.iters, cfg.dim, dense_r.plan, start,
+        )
+        if dense_from == start + 1:
+            log(f"# dense-cell kernel from epoch {dense_from} "
+                f"(k_cells {dense_r.k_cells})")
+            return [(dense_from, dense_r)]
+        if dense_from is not None:
+            log(f"# dense-cell kernel engages at epoch {dense_from} "
+                f"(eta {cfg.eta_at(dense_from):g}, k_cells "
+                f"{dense_r.k_cells})")
+
     phases = []
     if slot_eligible(params, cfg.batch_size):
         lb, _ = slot_dup_lower_bound(train_ds, dim=cfg.dim, balance=True)
@@ -331,11 +362,18 @@ def _mf_runner_schedule(cfg, train_ds, params, log, start=0):
                 )
 
             phases = _slot_phase_ladder(cfg, mk, log, start)
-        if not phases:
+        if not phases and dense_from is None:
             log("# slot kernel staleness envelope exceeded at every epoch's "
                 "eta; using the lane-packed kernel")
+
+    def _with_dense(sched):
+        if dense_from is None:
+            return sched
+        return [p for p in sched if p[0] < dense_from] + [
+            (dense_from, dense_r)]
+
     if phases and phases[0][0] <= start + 1:
-        return phases
+        return _with_dense(phases)
     if phases:
         log(f"# slot kernel envelope clears at epoch {phases[0][0]} "
             f"(eta {cfg.eta_at(phases[0][0]):g}); packed kernel until then")
@@ -377,7 +415,7 @@ def _mf_runner_schedule(cfg, train_ds, params, log, start=0):
             train_ds, tile_u=tu, tile_v=tv, batch=b, seed=cfg.seed,
             n_plans=n_plans, balance=True, saturate=True,
         )
-    return [(start + 1, runner)] + phases
+    return _with_dense([(start + 1, runner)] + phases)
 
 
 def _train_mf_pallas(cfg, train_ds, test_ds, params, log, obs, start=0) -> MFParams:
