@@ -69,10 +69,46 @@ def calibrated_ml10m(n=10_000_000, seed=0):
     return calibrated_ds(69_878, 10_677, n, seed)
 
 
+def calibrated_unique(nu=69_878, nv=10_677, n=10_000_000, seed=0):
+    """Unique-pair variant of the calibrated stand-in: the real ML-10M (a
+    user rates a movie once) has NO duplicate (u, v) pairs, while sampling
+    the Zipf-Mandelbrot marginals with replacement makes ~17% of ratings
+    duplicates at 10M. Oversample 1.3x, keep first occurrences, trim to n.
+    This is the dataset class whose dense-cell plan runs W-less (counts
+    derived on-chip; ops/pallas_sgd_dense.DensePlan.wless)."""
+    import os
+
+    import numpy as np
+
+    from tpu_mf.data.coo import RatingsCOO
+
+    cache = os.path.expanduser(
+        f"~/.cache/tpu_mf/data/caluq.{nu}.{nv}.{n}.{seed}.npz"
+    )
+    if os.path.exists(cache):
+        z = np.load(cache)
+        return RatingsCOO(u=z["u"], v=z["v"], r=z["r"], nu=nu, nv=nv)
+    ds = calibrated_ds(nu, nv, int(n * 1.3), seed)
+    key = ds.u.astype(np.int64) * nv + ds.v
+    _, first = np.unique(key, return_index=True)
+    first.sort()
+    first = first[:n]
+    assert len(first) == n, (len(first), n)
+    u, v, r = ds.u[first], ds.v[first], ds.r[first]
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    tmp = cache + ".tmp.npz"
+    np.savez(tmp, u=u, v=v, r=r)
+    os.replace(tmp, cache)
+    return RatingsCOO(u=u, v=v, r=r, nu=nu, nv=nv)
+
+
 def _kernel_name(kernel):
     name = type(kernel).__name__
     if getattr(kernel, "striped", False):
         name += " striped"
+    if getattr(kernel, "use_wless", False) and getattr(
+            getattr(kernel, "plan", None), "wless", False):
+        name += " wless"
     return name
 
 
@@ -185,6 +221,21 @@ def main() -> None:
                     r.pad(p), r.plan.n_real,
                 ))
 
+        # Unique-pairs variant (the real ML-10M has unique (u, v) pairs;
+        # the calibrated sampler's ~17% duplicate pairs are an artifact):
+        # tracks the production path on the more-faithful stand-in.
+        uds = calibrated_unique()
+        gbu = float(uds.mean_rating())
+        cfgu = TrainConfig(dim=64, iters=15, eta=eta, lam=lam, gb=gbu)
+        pu_ = init_mf(jax.random.PRNGKey(0), uds.nu, uds.nv, 64, gb=gbu)
+        schedu = _mf_runner_schedule(cfgu, uds, pu_, lambda *_: None)
+        epu, ru = schedu[-1]
+        extra["rank64_unique_kernel"] = _kernel_name(ru)
+        tasks.append(_Task(
+            "rank64uq", mf_step(ru, cfgu.eta_at(max(1, epu))),
+            ru.pad(pu_), ru.plan.n_real,
+        ))
+
         # DP-SGLD and AdaptReg production kernels at rank 8 (the loop.py
         # single-chip selections: slot-major, striped, saturated; SGLD
         # with the VMEM noise ring).
@@ -296,6 +347,7 @@ def main() -> None:
         extra["dim128_updates_per_s"] = round(
             rates[f"dim128@{scheds['dim128'][1][-1][0]}"]
         )
+        extra["rank64_unique_updates_per_s"] = round(rates["rank64uq"])
         extra["sgld_updates_per_s"] = round(rates["sgld"])
         extra["adreg_updates_per_s"] = round(rates["adreg"])
         extra["sgld_rank64_updates_per_s"] = round(rates["sgld64"])

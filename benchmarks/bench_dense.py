@@ -19,7 +19,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import _Task, _run_tasks, _spread, calibrated_ml10m  # noqa: E402
+from bench import (  # noqa: E402
+    _Task,
+    _run_tasks,
+    _spread,
+    calibrated_ml10m,
+    calibrated_unique,
+)
 
 
 def main() -> int:
@@ -30,6 +36,9 @@ def main() -> int:
     ap.add_argument("--ablate", default="0",
                     help="comma list of ablate levels per task "
                          "(0 full, 2 DMA-only stream walk)")
+    ap.add_argument("--unique", action="store_true",
+                    help="use the unique-pairs calibrated stand-in "
+                         "(bench.calibrated_unique): the W-less plan")
     args = ap.parse_args()
 
     import jax
@@ -38,7 +47,7 @@ def main() -> int:
     from tpu_mf.models.mf import init_mf, rmse
     from tpu_mf.ops.pallas_sgd_dense import DenseEpochRunner, _run_dense_epoch
 
-    ds = calibrated_ml10m()
+    ds = calibrated_unique() if args.unique else calibrated_ml10m()
     gb = float(ds.mean_rating())
     eta, lam = 2e-2, 5e-3
     ks = [int(x) for x in args.ks.split(",")]
@@ -53,9 +62,10 @@ def main() -> int:
     }), flush=True)
     t0 = time.perf_counter()
     dev = runner.dev
-    _ = float(jnp.sum(dev[1][0, 0, :8].astype(jnp.float32)))
-    print(json.dumps({"densify_s": round(time.perf_counter() - t0, 1)}),
-          flush=True)
+    probe = dev[1] if dev[1] is not None else dev[0]
+    _ = float(jnp.sum(probe[0, 0, :8].astype(jnp.float32)))
+    print(json.dumps({"densify_s": round(time.perf_counter() - t0, 1),
+                      "wless": dev[1] is None}), flush=True)
 
     tasks = []
     protos = {}

@@ -207,9 +207,11 @@ def test_dense_wless_matches_oracle():
     r = rng.uniform(0.5, 5.0, size=1200).astype(np.float32)
     ds = RatingsCOO(u=u, v=v, r=r, nu=60, nv=40)
     params = init_mf(jax.random.PRNGKey(3), 60, 40, 8, gb=2.5)
-    runner = _mk_runner(ds, saturate=True)
+    runner = _mk_runner(ds, saturate=True, wless=True)
     assert runner.plan.wless
     assert runner.dev[1] is None and runner.dev[3] is None
+    # default is streamed W (wless measured slower; kernel docstring)
+    assert _mk_runner(ds).dev[1] is not None
     tables = runner.pad(params)
     tables = runner.epoch(tables, 0.03, 0.01, 2.5)
     got = runner.trim(tables)

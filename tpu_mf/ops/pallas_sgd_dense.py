@@ -426,7 +426,15 @@ class DenseEpochRunner:
         saturate: bool = True,
         dtype=None,
         dim: int | None = None,
+        wless: bool = False,
     ):
+        # wless (drop the W/WT streams, derive counts from S != 0 on chip)
+        # measured NEGATIVE at ML-10M density (761 vs 807 M/s at d8,
+        # benchmarks/bench_dense.py --unique, 2026-08-20): the streamed-W
+        # kernel hides ALL compute under its 12.3 ms DMA walk, while the
+        # mask compute pushes the W-less kernel 2.7 ms past its 10.5 ms
+        # walk. Kept as an option for bandwidth-starved variants.
+        self.use_wless = wless
         del seed
         if tile_u is None or tile_v is None:
             pu, pv = pick_dense_tiles(ds.nu, ds.nv)
@@ -475,7 +483,7 @@ class DenseEpochRunner:
             kw = dict(n_gu=p.n_gu, n_gvp=p.n_gvp, tile_u=p.tile_u,
                       tile_v=p.tile_v, out_dtype=jnp.dtype(self.dtype))
             s, st = _densify_pair(flat, jnp.asarray(p.r), **kw)
-            if p.wless:
+            if p.wless and self.use_wless:
                 # unique pairs, no zero ratings: W == (S != 0) in-kernel;
                 # the W/WT streams (1/3 of epoch HBM traffic) don't exist
                 w = wt = None
